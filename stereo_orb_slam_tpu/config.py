@@ -1,0 +1,190 @@
+"""Typed configuration for the whole pipeline.
+
+One place for every tuning knob. The reference scatters these across three
+tiers — compile-time constants (ref `src/params.h:1-81`), gflags CLI flags
+(ref `src/slam.cpp:31-35`), and the camera calibration file (ref
+`src/camera_utils.cpp:36-49`). Here they are unified into frozen dataclasses
+so a config can be passed through jitted code as static metadata.
+
+Deliberate deviations from the reference are commented inline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Feature detection / description / matching knobs.
+
+    Reference: ref `src/params.h:9-15` and hard-coded arguments at ref
+    `src/visual_odometer.cpp:234-242` (goodFeaturesToTrack + cornerSubPix).
+    """
+
+    # Max corners per image. Reference uses 1000 (ref src/params.h:9); we pad
+    # to 1024 so descriptor/match matrices tile exactly onto the 128-lane MXU.
+    num_features: int = 1024
+    # Shi-Tomasi quality level relative to the strongest corner response
+    # (ref src/visual_odometer.cpp:234, goodFeaturesToTrack arg 4 = 0.01).
+    quality_level: float = 0.01
+    # Minimum distance between detected corners, enforced as an NMS radius
+    # (ref src/visual_odometer.cpp:234, arg 5 = 10). The reference greedily
+    # suppresses in score order; we use grid NMS which is equivalent in
+    # coverage and fully parallel.
+    min_distance: int = 10
+    # Structure-tensor window (ref src/visual_odometer.cpp:234, blockSize=5).
+    block_size: int = 5
+    # Subpixel refinement: the reference runs iterative cornerSubPix with a
+    # 5x5 window for up to 40 iters (ref src/visual_odometer.cpp:238-242); we
+    # use a single closed-form quadratic fit on the corner response, which is
+    # branch-free and batched.
+    subpix: bool = True
+    # ORB descriptor geometry: 256 binary tests in a 31x31 patch, orientation
+    # from the intensity centroid of a radius-15 disc (standard ORB).
+    patch_size: int = 31
+    orientation_radius: int = 15
+    # Gaussian-ish pre-smoothing used before sampling BRIEF tests.
+    smoothing_ksize: int = 7
+    # Matching: absolute Hamming distance gate and Lowe ratio
+    # (ref src/params.h:12,15; applied at ref src/visual_odometer.cpp:275-276).
+    match_max_distance: float = 30.0
+    match_ratio: float = 0.5
+    # Minimum stereo matches to consider a frame trackable
+    # (ref src/visual_odometer.cpp:117).
+    min_stereo_matches: int = 5
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Batched RANSAC rigid-transform solver.
+
+    The reference delegates to an absent git submodule (`ransac_solver`,
+    interface reconstructed in SURVEY.md C8; options set at ref
+    `src/visual_odometer.cpp:21-27` from ref `src/params.h:18-27`).
+    Our solver evaluates every hypothesis in parallel, so "early
+    termination" does not exist; the hypothesis count is static.
+    """
+
+    # Reference runs up to 100 sequential iterations (ref src/params.h:27);
+    # we evaluate 128 hypotheses in one batched pass.
+    num_hypotheses: int = 128
+    # Consensus ratio kept for parity (ref src/params.h:24); only meaningful
+    # for the success heuristic since all hypotheses are evaluated anyway.
+    consensus_ratio: float = 0.8
+    # Re-fit the model on all inliers of the winning hypothesis
+    # (ref src/params.h:18 sets false).
+    final_model_fitting: bool = False
+    # Max stereo-reprojection error (px, max over the 4 residual components)
+    # for a pair to count as an inlier. The reference value lives in the
+    # absent submodule; 3 px is tuned on synthetic + KITTI data.
+    inlier_threshold_px: float = 3.0
+    # Minimum observation pairs to attempt a solve
+    # (ref src/visual_odometer.cpp:100).
+    min_pairs: int = 10
+    # Minimum inliers for the winning model to be accepted (guards against
+    # degenerate 3-point-only consensus; no analogue in the reference).
+    min_inliers: int = 6
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (Levenberg-Marquardt + Schur complement).
+
+    Reference: Ceres options at ref `src/bundle_adjuster.cpp:13-36` and
+    constants at ref `src/params.h:34-47`.
+    """
+
+    # LM iterations (ref src/params.h:34).
+    max_iterations: int = 50
+    # Huber loss scale (ref src/bundle_adjuster.cpp:100, HuberLoss(1.0)).
+    huber_delta: float = 1.0
+    # Landmark coordinate box bounds (ref src/params.h:44-47), applied as a
+    # clamp after each accepted LM step.
+    point_bound: float = 10000.0
+    # PCG on the reduced camera (Schur) system.
+    cg_iterations: int = 100
+    cg_tol: float = 1e-6
+    # LM damping schedule.
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 0.5
+    lm_lambda_min: float = 1e-10
+    lm_lambda_max: float = 1e8
+    # Relative cost-decrease tolerance for early stop (the reference sets
+    # Ceres tolerances to 1e-16, i.e. effectively runs to the iteration cap;
+    # ref src/bundle_adjuster.cpp:35-36).
+    function_tolerance: float = 1e-9
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    """SE(3) pose-graph Gauss-Newton.
+
+    Reference: g2o setup at ref `src/pose_graph_optimizer.cpp:14-27`, 10
+    iterations at ref `src/pose_graph_optimizer.cpp:69`.
+    """
+
+    iterations: int = 10
+    # Information matrix: identity with the translation block scaled to 0.01
+    # (ref src/pose_graph_optimizer.cpp:23-26; g2o EdgeSE3 orders error as
+    # [translation, rotation]).
+    info_translation: float = 0.01
+    info_rotation: float = 1.0
+    huber_delta: float = 1.0
+    # Gauss-Newton damping for robustness (reference uses g2o Levenberg).
+    damping: float = 1e-6
+    cg_iterations: int = 200
+    cg_tol: float = 1e-8
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Bag-of-words place recognition + Bayesian loop filter.
+
+    Reference: ref `src/params.h:54-81` and ref `src/loop_detector.cpp`.
+    """
+
+    query_size: int = 4              # ref src/params.h:54
+    adjacent_frame_thresh: int = 5   # ref src/params.h:57
+    distant_frame_thresh: int = 50   # ref src/params.h:60
+    score_window: int = 5            # ref src/params.h:63
+    match_probability_thresh: float = 0.5   # ref src/params.h:66
+    is_loop_thresh: float = 0.9      # ref src/params.h:69
+    not_loop_thresh: float = 0.1     # ref src/params.h:72
+    decay_rate: float = 0.75         # ref src/params.h:75
+    min_loop_probability: float = 0.005  # ref src/params.h:78
+    max_loop_probability: float = 0.995  # ref src/params.h:81
+    # Score-likelihood prior. The reference stubs ScoreProbability() to 0.5
+    # (ref src/loop_detector.cpp:167-170); we keep that behavior by default
+    # and document it as a quirk.
+    score_probability: float = 0.5
+    # Flat vocabulary size (replaces the DBoW2 k^d tree: the reference uses
+    # branching 9 / depth 3 = 729 leaves, ref src/loop_detector.cpp:9-10).
+    # Flat nearest-word assignment is one MXU matmul; 1024 words tile evenly.
+    vocab_words: int = 1024
+    vocab_iterations: int = 8
+    # Capacity of the BoW database (frames), grown by re-allocation.
+    database_capacity: int = 8192
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level pipeline wiring (the gflags tier, ref src/slam.cpp:31-35)."""
+
+    frontend: FrontendConfig = FrontendConfig()
+    ransac: RansacConfig = RansacConfig()
+    ba: BAConfig = BAConfig()
+    pose_graph: PoseGraphConfig = PoseGraphConfig()
+    loop: LoopConfig = LoopConfig()
+    # Sliding-window BA cadence: every `refine_interval` frames optimize the
+    # last 2*refine_interval frames (ref src/slam.cpp:34,126-129).
+    refine_interval: int = 10
+    # Per-frame single-pose BA (landmark-only refine since the lone pose is
+    # held fixed; ref src/slam.cpp:123 + src/bundle_adjuster.cpp:113).
+    per_frame_ba: bool = True
+    output_suffix: str = "slam"
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
