@@ -1,3 +1,3 @@
-from stereo_orb_slam_tpu.frontend import odometer, ransac
+from stereo_orb_slam_tpu.frontend import ransac
 
-__all__ = ["odometer", "ransac"]
+__all__ = ["ransac"]

@@ -117,24 +117,37 @@ def detect_corners(
       score: [num_features] response values.
       valid: [num_features] bool mask (score above quality gate).
     """
-    resp = shi_tomasi_response(img, block_size)
-    H, W = resp.shape
+    resp_raw = shi_tomasi_response(img, block_size)
+    H, W = resp_raw.shape
 
-    keep = nms(resp, max(1, min_distance // 2))
+    # Deterministic tie-breaking: flat response plateaus (e.g. ideal
+    # checkerboards) would otherwise pass `>=` NMS at every plateau pixel.
+    # The jittered map is used only for NMS / ordering; scores and the
+    # quality gate use the raw response.
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    hash_pat = ((yy * 7919 + xx * 104729) % 65521).astype(jnp.float32) / 65521.0
+    resp = resp_raw + hash_pat * (1e-5 * jnp.maximum(jnp.max(resp_raw), 1e-12))
+
+    keep = nms(resp, max(1, min_distance // 2))
     in_border = (
         (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
     )
     masked = jnp.where(keep & in_border, resp, -jnp.inf)
 
     flat = masked.reshape(-1)
-    scores, idx = jax.lax.top_k(flat, num_features)
+    top_vals, idx = jax.lax.top_k(flat, num_features)
     ys = idx // W
     xs = idx % W
+    scores = resp_raw[ys, xs]
 
-    max_resp = jnp.max(masked)
-    valid = (scores > quality_level * max_resp) & jnp.isfinite(scores) & (max_resp > 0)
+    max_resp = jnp.max(jnp.where(keep & in_border, resp_raw, 0.0))
+    valid = (
+        jnp.isfinite(top_vals)
+        & (scores > quality_level * max_resp)
+        & (scores > 1e-6)
+        & (max_resp > 0)
+    )
 
     if subpix:
         dy, dx = subpixel_refine(resp, ys, xs)
