@@ -1,0 +1,296 @@
+"""Per-frame stereo visual odometry front end.
+
+Re-architecture of the reference `VisualOdometer` (ref
+`src/visual_odometer.h:16-96`, `src/visual_odometer.cpp:105-221`):
+
+- the entire per-frame compute — detect corners on both images, ORB
+  descriptors, stereo matching, triangulation + depth gating, temporal
+  matching against the previous frame, batched RANSAC pose — is ONE jitted
+  function (`frontend_step`) with static shapes; the host only does map
+  bookkeeping on small arrays brought back per frame.
+- the reference's compacted per-frame "containers"
+  (ref `src/frame_data_container.h`) become slot-aligned arrays of capacity
+  `num_features` with validity masks: slot i of every array refers to left
+  corner i.
+
+Behavioral notes vs the reference (quirks reproduced or fixed, SURVEY.md §7):
+- < min_stereo_matches stereo matches: no frame is recorded at all (the
+  reference early-returns before Update, ref visual_odometer.cpp:117-121) —
+  reproduced.
+- RANSAC failure: a frame IS recorded with identity relative pose and all
+  of its points enter the map as new landmarks; the previous container is
+  retained for the next temporal match (ref visual_odometer.cpp:206-217) —
+  reproduced.
+- the reference appends a tracked point's descriptor from the wrong index
+  (`idx` instead of `idx_curr`, ref visual_odometer.cpp:407) — fixed; we
+  associate each slot's own descriptor.
+- `GetCurrFrameData()` returning the post-swap previous container
+  (ref visual_odometer.cpp:59-62) is mirrored by `current_frame_features`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_orb_slam_tpu.config import FrontendConfig, RansacConfig
+from stereo_orb_slam_tpu.frontend import ransac
+from stereo_orb_slam_tpu.geometry import camera as cam_mod
+from stereo_orb_slam_tpu.ops import detect, match, orb
+from stereo_orb_slam_tpu.worldmap import WorldMap
+
+
+class FrameSlots(NamedTuple):
+    """Slot-aligned per-frame state (device). Slot = left-corner index."""
+
+    kp_l: jnp.ndarray      # [N,2]
+    kp_r: jnp.ndarray      # [N,2]
+    desc: jnp.ndarray      # [N,8] uint32 (left descriptors)
+    pts: jnp.ndarray       # [N,3] camera-frame 3D points
+    valid: jnp.ndarray     # [N] bool
+
+
+class StepResult(NamedTuple):
+    slots: FrameSlots
+    transform: jnp.ndarray      # [4,4] rel pose: X_prev = T @ X_curr
+    prev_idx: jnp.ndarray       # [N] temporal match into prev slots
+    tracked: jnp.ndarray        # [N] temporal match passed RANSAC inliers
+    ransac_success: jnp.ndarray  # bool
+    num_stereo: jnp.ndarray     # int32
+    num_temporal: jnp.ndarray   # int32
+    num_inliers: jnp.ndarray    # int32
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fe", "rc"),
+)
+def frontend_step(
+    img_l,
+    img_r,
+    prev: FrameSlots,
+    prev_usable,           # bool scalar: is `prev` a real frame
+    key,
+    rig: cam_mod.StereoRig,
+    max_distance,
+    fe: FrontendConfig,
+    rc: RansacConfig,
+) -> StepResult:
+    """Full per-frame front-end on device. Mirrors Track()
+    (ref visual_odometer.cpp:105-221) with batched equivalents."""
+    n = fe.num_features
+
+    # --- detection + description on both images (ref :232-259)
+    xy_l, _, v_l = detect.detect_corners(
+        img_l, num_features=n, quality_level=fe.quality_level,
+        block_size=fe.block_size, min_distance=fe.min_distance,
+        subpix=fe.subpix,
+    )
+    xy_r, _, v_r = detect.detect_corners(
+        img_r, num_features=n, quality_level=fe.quality_level,
+        block_size=fe.block_size, min_distance=fe.min_distance,
+        subpix=fe.subpix,
+    )
+    d_l, _ = orb.compute_descriptors(
+        img_l, xy_l, v_l, smoothing_ksize=fe.smoothing_ksize,
+        orientation_radius=fe.orientation_radius,
+    )
+    d_r, _ = orb.compute_descriptors(
+        img_r, xy_r, v_r, smoothing_ksize=fe.smoothing_ksize,
+        orientation_radius=fe.orientation_radius,
+    )
+
+    # --- stereo matching: left query -> right train (ref :262-289)
+    r_idx, s_ok, _ = match.match_descriptors(
+        d_l, d_r, v_l, v_r,
+        max_distance=fe.match_max_distance, ratio=fe.match_ratio,
+    )
+    kp_r = xy_r[r_idx]
+
+    # --- triangulation + validity gates (ref :299-314, :128-148)
+    pts, tri_ok = cam_mod.triangulate(rig, xy_l, kp_r)
+    depth_ok = jnp.abs(pts[:, 2]) < max_distance
+    slot_valid = v_l & s_ok & tri_ok & depth_ok
+    pts = jnp.where(slot_valid[:, None], pts, 0.0)
+
+    slots = FrameSlots(kp_l=xy_l, kp_r=kp_r, desc=d_l, pts=pts, valid=slot_valid)
+    num_stereo = jnp.sum(slot_valid.astype(jnp.int32))
+
+    # --- temporal matching curr -> prev (ref :316-333; MatchPoints :64-91)
+    prev_valid = prev.valid & prev_usable
+    prev_idx, t_ok, _ = match.match_descriptors(
+        slots.desc, prev.desc, slot_valid, prev_valid,
+        max_distance=fe.match_max_distance, ratio=fe.match_ratio,
+    )
+    num_temporal = jnp.sum(t_ok.astype(jnp.int32))
+
+    # --- batched RANSAC pose (ref :158-177; solver per SURVEY.md C8)
+    obs_curr = jnp.concatenate([slots.kp_l, slots.kp_r], axis=-1)
+    obs_prev_all = jnp.concatenate([prev.kp_l, prev.kp_r], axis=-1)
+    pair_valid = t_ok
+    res = ransac.solve(
+        key,
+        slots.pts,
+        prev.pts[prev_idx],
+        obs_curr,
+        obs_prev_all[prev_idx],
+        pair_valid,
+        jnp.ones(n, jnp.float32),
+        rig.left.projection,
+        rig.right.projection,
+        num_hypotheses=rc.num_hypotheses,
+        inlier_threshold_px=rc.inlier_threshold_px,
+        min_pairs=rc.min_pairs,
+        min_inliers=rc.min_inliers,
+        final_model_fitting=rc.final_model_fitting,
+    )
+
+    return StepResult(
+        slots=slots,
+        transform=res.transform,
+        prev_idx=prev_idx,
+        tracked=res.inlier_mask & t_ok,
+        ransac_success=res.success,
+        num_stereo=num_stereo,
+        num_temporal=num_temporal,
+        num_inliers=res.num_inliers,
+    )
+
+
+def empty_slots(n: int) -> FrameSlots:
+    return FrameSlots(
+        kp_l=jnp.zeros((n, 2), jnp.float32),
+        kp_r=jnp.zeros((n, 2), jnp.float32),
+        desc=jnp.zeros((n, 8), jnp.uint32),
+        pts=jnp.zeros((n, 3), jnp.float32),
+        valid=jnp.zeros((n,), bool),
+    )
+
+
+class VisualOdometer:
+    """Host-side orchestration: device front end + world-map bookkeeping."""
+
+    def __init__(
+        self,
+        world: WorldMap,
+        rig: cam_mod.StereoRig,
+        fe: Optional[FrontendConfig] = None,
+        rc: Optional[RansacConfig] = None,
+        seed: int = 0,
+    ):
+        self.world = world
+        self.rig = rig
+        self.fe = fe or FrontendConfig()
+        self.rc = rc or RansacConfig()
+        self.key = jax.random.key(seed)
+        self.max_distance = float(np.asarray(rig.max_sensible_distance()))
+        self.prev = empty_slots(self.fe.num_features)
+        self.prev_global_idx = np.full(self.fe.num_features, -1, np.int64)
+        self.initialized = False
+        self.success = True
+        self._current_features = None  # (desc, uv4, point_ids, valid) of latest frame
+
+    def track(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
+        """Process one stereo pair; returns the 4x4 relative transform."""
+        self.key, sub = jax.random.split(self.key)
+        res = frontend_step(
+            jnp.asarray(img_l, jnp.float32),
+            jnp.asarray(img_r, jnp.float32),
+            self.prev,
+            jnp.asarray(self.initialized),
+            sub,
+            self.rig,
+            jnp.float32(self.max_distance),
+            self.fe,
+            self.rc,
+        )
+
+        num_stereo = int(res.num_stereo)
+        if num_stereo < self.fe.min_stereo_matches:
+            # Reference early-return: frame not recorded (ref :117-121).
+            self.success = False
+            self.initialized = True
+            return np.eye(4, dtype=np.float32)
+
+        if not self.initialized:
+            trans = np.eye(4, dtype=np.float32)
+            self.success = True
+            self._update_map(trans, res, first=True)
+            self._swap(res)
+            self.initialized = True
+            return trans
+
+        self.success = bool(res.ransac_success)
+        trans = np.asarray(res.transform)
+        self._update_map(trans, res, first=False)
+        if self.success:
+            self._swap(res)
+        # else: keep prev container (ref :214-217)
+        return trans
+
+    # ------------------------------------------------------------------ internals
+    def _swap(self, res: StepResult):
+        self.prev = res.slots
+        self.prev_global_idx = self._curr_global_idx
+
+    def _update_map(self, trans: np.ndarray, res: StepResult, first: bool):
+        """Map bookkeeping, mirroring Update() (ref :335-444)."""
+        world = self.world
+        slots = res.slots
+        valid = np.asarray(slots.valid)
+        pts_local = np.asarray(slots.pts)
+        kp_l = np.asarray(slots.kp_l)
+        kp_r = np.asarray(slots.kp_r)
+        desc = np.asarray(slots.desc)
+
+        fid = world.add_frame(trans)
+        G = world.pose_global[fid]
+
+        tracked = np.asarray(res.tracked) & valid if not first else np.zeros_like(valid)
+        if not first and not self.success:
+            tracked[:] = False  # failed RANSAC -> everything becomes new
+        prev_idx = np.asarray(res.prev_idx)
+
+        gids = np.full(len(valid), -1, np.int64)
+        # Tracked slots inherit the matched prev slot's landmark id.
+        if tracked.any():
+            inherited = self.prev_global_idx[prev_idx[tracked]]
+            ok = inherited >= 0
+            t_idx = np.where(tracked)[0]
+            gids[t_idx[ok]] = inherited[ok]
+            tracked_final = np.zeros_like(tracked)
+            tracked_final[t_idx[ok]] = True
+            tracked = tracked_final
+
+        # New landmarks: valid slots not tracked; transformed to world by the
+        # new frame's global pose (ref :386-388).
+        new_mask = valid & ~tracked
+        if new_mask.any():
+            pl = pts_local[new_mask]
+            ph = np.concatenate([pl, np.ones((len(pl), 1), np.float32)], 1)
+            pw = (G @ ph.T).T[:, :3]
+            new_ids = world.add_points(pw, fid)
+            gids[new_mask] = new_ids
+
+        uv4 = np.concatenate([kp_l, kp_r], axis=1).astype(np.float32)
+        obs_mask = valid & (gids >= 0)
+        world.add_observations(fid, gids[obs_mask].astype(np.int32), uv4[obs_mask])
+        # Tracked landmarks get an extra descriptor-count bump to mirror the
+        # per-observation descriptor list length (new points start at 1 in
+        # add_points; add_observations already counts, so subtract the double
+        # count for new points).
+        world.point_obs_count[gids[new_mask].astype(np.int64)] -= 1
+
+        world.set_frame_features(fid, desc, uv4, gids.astype(np.int32), obs_mask)
+        self._current_features = (desc, uv4, gids.astype(np.int32), obs_mask)
+        self._curr_global_idx = gids
+
+    @property
+    def current_frame_features(self):
+        """Descriptor bank of the most recently recorded frame (the
+        reference's GetCurrFrameData, ref visual_odometer.cpp:59-62)."""
+        return self._current_features
