@@ -1,0 +1,304 @@
+"""Bundle adjustment: Levenberg-Marquardt with Schur complement + PCG.
+
+Replaces the reference's Ceres solve (LM trust region, SPARSE_SCHUR +
+SuiteSparse, JACOBI preconditioner, ref `src/bundle_adjuster.cpp:13-36`)
+with a TPU-native formulation in which every stage is a batched dense op:
+
+- per-observation residuals/Jacobians: vmap (MXU-friendly small matmuls),
+- normal-equation blocks H_cc [C,6,6], H_pp [P,3,3], W [O,6,3], gradients:
+  `segment_sum` scatter-reductions,
+- point marginalization: batched 3x3 Cholesky solves (embarrassingly
+  parallel over landmarks — the distribution axis in parallel/dist_ba.py),
+- reduced camera system S = H_cc - W H_pp^-1 W^T: solved MATRIX-FREE by
+  preconditioned CG (block-Jacobi), with S·x evaluated via two
+  segment-sums per iteration; S is never materialized, so global BA over
+  thousands of keyframes needs O(C·36) memory instead of O(C^2·36),
+- LM damping loop in `lax.while_loop`-free host iteration calling one jitted
+  `lm_step` (compile once per problem shape; shapes are padded to powers
+  of two by `BundleAdjuster`).
+
+Window semantics match the reference (ref `src/bundle_adjuster.cpp:39-133`):
+cameras parameterized as world->camera pose6, first camera in the window
+held constant (ref :113), point coordinates clamped to ±bound (ref
+:104-108 box constraints), writeback via world.ba_writeback which drags
+first-observed landmarks exactly as Frame::GlobalPose does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_orb_slam_tpu.config import BAConfig
+from stereo_orb_slam_tpu.backend import residuals as res_mod
+from stereo_orb_slam_tpu.geometry import se3
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA problem (padded)."""
+
+    pose6: jnp.ndarray      # [C,6] world->camera
+    points: jnp.ndarray     # [P,3]
+    obs_cam: jnp.ndarray    # [O] int32
+    obs_point: jnp.ndarray  # [O] int32
+    obs_uv: jnp.ndarray     # [O,4]
+    obs_weight: jnp.ndarray  # [O] 1.0 real / 0.0 padding
+    cam_mask: jnp.ndarray   # [C] 1.0 free / 0.0 held fixed
+    point_mask: jnp.ndarray  # [P] 1.0 real / 0.0 padding
+    P_l: jnp.ndarray        # [3,4]
+    P_r: jnp.ndarray        # [3,4]
+
+
+def _seg_sum(x, ids, num):
+    return jax.ops.segment_sum(x, ids, num_segments=num)
+
+
+def build_normal_equations(prob: BAProblem, huber_delta: float):
+    r, J_c, J_p, cost = res_mod.residuals_and_jacobians(
+        prob.pose6, prob.points, prob.obs_cam, prob.obs_point, prob.obs_uv,
+        prob.obs_weight, prob.P_l, prob.P_r, huber_delta,
+    )
+    C = prob.pose6.shape[0]
+    P = prob.points.shape[0]
+    JcT_Jc = jnp.einsum("oki,okj->oij", J_c, J_c)        # [O,6,6]
+    JpT_Jp = jnp.einsum("oki,okj->oij", J_p, J_p)        # [O,3,3]
+    W = jnp.einsum("oki,okj->oij", J_c, J_p)             # [O,6,3]
+    H_cc = _seg_sum(JcT_Jc, prob.obs_cam, C)             # [C,6,6]
+    H_pp = _seg_sum(JpT_Jp, prob.obs_point, P)           # [P,3,3]
+    b_c = -_seg_sum(jnp.einsum("oki,ok->oi", J_c, r), prob.obs_cam, C)
+    b_p = -_seg_sum(jnp.einsum("oki,ok->oi", J_p, r), prob.obs_point, P)
+    return H_cc, H_pp, W, b_c, b_p, cost
+
+
+def _damp(H, lam, eps=1e-8):
+    """Marquardt scaling: H + lam * diag(H) (+ floor) on the block diagonal."""
+    d = jnp.diagonal(H, axis1=-2, axis2=-1)
+    add = lam * d + eps
+    return H + jnp.eye(H.shape[-1], dtype=H.dtype)[None] * add[..., None, :] * jnp.eye(
+        H.shape[-1], dtype=H.dtype
+    )
+
+
+def _damp_blocks(H, lam, eps=1e-8):
+    d = jnp.diagonal(H, axis1=-2, axis2=-1)  # [N,k]
+    return H + jnp.vectorize(jnp.diag, signature="(k)->(k,k)")(lam * d + eps)
+
+
+def _batched_spd_solve(A, b):
+    """Solve A x = b for [N,k,k] SPD blocks and [N,k] rhs via Cholesky."""
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
+    return x[..., 0]
+
+
+def schur_matvec(x, H_cc_l, Hpp_inv_solve, W, obs_cam, obs_point, cam_mask):
+    """S @ x with S = H_cc_l - W H_pp_l^-1 W^T, matrix-free.
+
+    x: [C,6]. Fixed cameras are pinned via cam_mask (identity rows).
+    """
+    xm = x * cam_mask[:, None]
+    u = jnp.einsum("oij,oi->oj", W, xm[obs_cam])          # [O,3] = W^T x
+    z = _seg_sum(u, obs_point, Hpp_inv_solve.shape[0])    # [P,3]
+    w = _batched_spd_solve(Hpp_inv_solve, z)              # [P,3]
+    v = jnp.einsum("oij,oj->oi", W, w[obs_point])         # [O,6] = W w
+    out = jnp.einsum("cij,cj->ci", H_cc_l, xm) - _seg_sum(v, obs_cam, x.shape[0])
+    return out * cam_mask[:, None] + x * (1.0 - cam_mask[:, None])
+
+
+def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
+    """Block-Jacobi preconditioned CG on the reduced camera system."""
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", M_inv_blocks, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    b_norm = jnp.sqrt(jnp.sum(b * b))
+
+    def body(state):
+        i, x, r, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    def cond(state):
+        i, x, r, p, rz = state
+        return (i < iters) & (jnp.sqrt(jnp.sum(r * r)) > tol * b_norm)
+
+    _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lm_step(prob: BAProblem, lam, cfg: BAConfig):
+    """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
+
+    Returns (new_prob, new_lam, accepted, cost_before, cost_after).
+    """
+    H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(prob, cfg.huber_delta)
+
+    H_cc_l = _damp_blocks(H_cc, lam)
+    H_pp_l = _damp_blocks(H_pp, lam)
+    # Guard padding points: identity blocks so Cholesky stays finite.
+    eye3 = jnp.eye(3, dtype=H_pp_l.dtype)
+    H_pp_l = jnp.where(prob.point_mask[:, None, None] > 0, H_pp_l, eye3[None])
+
+    # rhs = b_c - W H_pp^-1 b_p
+    hp_bp = _batched_spd_solve(H_pp_l, b_p)
+    rhs = b_c - _seg_sum(
+        jnp.einsum("oij,oj->oi", W, hp_bp[prob.obs_point]), prob.obs_cam,
+        b_c.shape[0],
+    )
+    rhs = rhs * prob.cam_mask[:, None]
+
+    # Preconditioner: inverse of damped camera diagonal blocks (fixed cams
+    # get identity).
+    eye6 = jnp.eye(6, dtype=H_cc_l.dtype)
+    H_cc_safe = jnp.where(prob.cam_mask[:, None, None] > 0, H_cc_l, eye6[None])
+    M_inv = jnp.linalg.inv(H_cc_safe + 1e-8 * eye6[None])
+
+    mv = partial(
+        schur_matvec,
+        H_cc_l=H_cc_safe, Hpp_inv_solve=H_pp_l, W=W,
+        obs_cam=prob.obs_cam, obs_point=prob.obs_point, cam_mask=prob.cam_mask,
+    )
+    dc = pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
+    dc = dc * prob.cam_mask[:, None]
+
+    # Back-substitute points: dp = H_pp^-1 (b_p - W^T dc)
+    u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
+    dp = _batched_spd_solve(H_pp_l, b_p - _seg_sum(u, prob.obs_point, b_p.shape[0]))
+    dp = dp * prob.point_mask[:, None]
+
+    pose6_new = prob.pose6 + dc
+    points_new = jnp.clip(prob.points + dp, -cfg.point_bound, cfg.point_bound)
+
+    cost1 = res_mod.robust_cost(
+        pose6_new, points_new, prob.obs_cam, prob.obs_point, prob.obs_uv,
+        prob.obs_weight, prob.P_l, prob.P_r, cfg.huber_delta,
+    )
+
+    accept = cost1 < cost0
+    pose6_out = jnp.where(accept, pose6_new, prob.pose6)
+    points_out = jnp.where(accept, points_new, prob.points)
+    lam_new = jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
+    lam_new = jnp.clip(lam_new, cfg.lm_lambda_min, cfg.lm_lambda_max)
+
+    new_prob = prob._replace(pose6=pose6_out, points=points_out)
+    return new_prob, lam_new, accept, cost0, cost1
+
+
+def _pad_to(n: int, mult: int = 256) -> int:
+    return max(mult, ((n + mult - 1) // mult) * mult)
+
+
+class BundleAdjuster:
+    """Host orchestration: pad, run LM to convergence, write back.
+
+    Mirrors BundleAdjuster::Optimize(start, end) (ref
+    `src/bundle_adjuster.cpp:39-133`), called per-frame, sliding-window, and
+    globally (ref `src/slam.cpp:123-129,156`).
+    """
+
+    def __init__(self, world, rig, cfg: Optional[BAConfig] = None):
+        self.world = world
+        self.cfg = cfg or BAConfig()
+        self.P_l = jnp.asarray(np.asarray(rig.left.projection))
+        self.P_r = jnp.asarray(np.asarray(rig.right.projection))
+        self.last_stats = {}
+
+    def optimize(self, start_frame: int, end_frame: int,
+                 max_iterations: Optional[int] = None) -> dict:
+        world = self.world
+        end_frame = min(end_frame, world.num_frames)
+        if end_frame - start_frame < 1:
+            return {}
+        problem = world.ba_problem(start_frame, end_frame)
+        n_obs = len(problem["obs_cam"])
+        if n_obs == 0:
+            return {}
+
+        C = len(problem["frame_ids"])
+        P_real = len(problem["point_ids"])
+        P_pad = _pad_to(P_real)
+        O_pad = _pad_to(n_obs)
+
+        pose6 = np.asarray(
+            se3.matrix_to_pose6(
+                se3.inverse(jnp.asarray(problem["cam_world"]))
+            )
+        )
+        points = np.zeros((P_pad, 3), np.float32)
+        points[:P_real] = problem["point_xyz"]
+
+        obs_cam = np.zeros(O_pad, np.int32)
+        obs_point = np.zeros(O_pad, np.int32)
+        obs_uv = np.zeros((O_pad, 4), np.float32)
+        obs_w = np.zeros(O_pad, np.float32)
+        obs_cam[:n_obs] = problem["obs_cam"]
+        obs_point[:n_obs] = problem["obs_point"]
+        obs_uv[:n_obs] = problem["obs_uv"]
+        obs_w[:n_obs] = 1.0
+
+        cam_mask = np.ones(C, np.float32)
+        cam_mask[0] = 0.0  # first camera fixed (ref bundle_adjuster.cpp:113)
+        point_mask = np.zeros(P_pad, np.float32)
+        point_mask[:P_real] = 1.0
+
+        prob = BAProblem(
+            pose6=jnp.asarray(pose6),
+            points=jnp.asarray(points),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_point=jnp.asarray(obs_point),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_weight=jnp.asarray(obs_w),
+            cam_mask=jnp.asarray(cam_mask),
+            point_mask=jnp.asarray(point_mask),
+            P_l=self.P_l, P_r=self.P_r,
+        )
+
+        cfg = self.cfg
+        iters = max_iterations or cfg.max_iterations
+        lam = jnp.float32(cfg.lm_lambda_init)
+        cost_first = cost_last = None
+        for it in range(iters):
+            prob, lam, accepted, c0, c1 = lm_step(prob, lam, cfg)
+            c0f, c1f = float(c0), float(c1)
+            if cost_first is None:
+                cost_first = c0f
+            cost_last = min(c0f, c1f) if bool(accepted) else c0f
+            if bool(accepted) and c0f > 0 and (c0f - c1f) < cfg.function_tolerance * c0f:
+                break
+
+        # Write back: pose6 (world->camera) -> camera-to-world matrices.
+        cam_world_new = np.asarray(
+            se3.inverse(se3.pose6_to_matrix(prob.pose6))
+        )
+        self.world.ba_writeback(
+            problem, cam_world_new, np.asarray(prob.points[:P_real])
+        )
+        self.last_stats = {
+            "iterations": it + 1,
+            "cost_initial": cost_first,
+            "cost_final": cost_last,
+            "num_cams": C,
+            "num_points": P_real,
+            "num_obs": n_obs,
+        }
+        return self.last_stats

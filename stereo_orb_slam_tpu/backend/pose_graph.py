@@ -1,0 +1,272 @@
+"""SE(3) pose-graph optimization (Gauss-Newton, Huber, gauge-fixed).
+
+Replaces the reference's g2o pipeline (ref `src/pose_graph_optimizer.cpp`):
+VertexSE3 per frame, EdgeSE3 for the odometry chain (measurement = stored
+relative pose, ref :126-172) and for loop closures (measurement from
+descriptor re-matching + RANSAC, ref :175-217), information matrix
+I6 with the translation block scaled to 0.01 (ref :23-26), Huber kernel,
+frame 0 / gauge vertex fixed (ref :61-65,119-121), 10 iterations (ref :69).
+
+TPU-native formulation mirrors backend/ba.py: per-edge residuals
+r = log( Z^-1 T_a^-1 T_b ) with local right-increment Jacobians from
+`jax.jacfwd` (vmapped over edges), normal equations assembled with
+segment-sums, solved matrix-free by block-Jacobi PCG. The graph Hessian is
+never materialized, so the solve scales to thousands of keyframes and
+shards across devices the same way the BA reduced system does.
+
+Error vector ordering is [translation, rotation] to match how the g2o
+information matrix is indexed in the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_orb_slam_tpu.config import PoseGraphConfig
+from stereo_orb_slam_tpu.geometry import se3
+
+
+class PoseGraphProblem(NamedTuple):
+    poses: jnp.ndarray       # [N,4,4] global poses (camera-to-world)
+    edge_a: jnp.ndarray      # [E] int32
+    edge_b: jnp.ndarray      # [E] int32
+    edge_meas: jnp.ndarray   # [E,4,4] measurement Z: expected T_a^-1 @ T_b
+    edge_weight: jnp.ndarray  # [E] 1.0 real / 0.0 padding
+    vertex_mask: jnp.ndarray  # [N] 1.0 free / 0.0 fixed (gauge)
+
+
+def edge_residual(Ta, Tb, Z, da, db):
+    """Whiten-ready 6-residual of one edge with local increments applied.
+
+    r = log( Z^-1 (Ta e^da)^-1 (Tb e^db) ), reordered to [trans, rot].
+    """
+    Ta_i = Ta @ se3.se3_exp(da)
+    Tb_i = Tb @ se3.se3_exp(db)
+    diff = se3.inverse(Z) @ (se3.inverse(Ta_i) @ Tb_i)
+    xi = se3.se3_log(diff)  # [w, v]
+    return jnp.concatenate([xi[3:], xi[:3]])  # -> [v, w]
+
+
+def _res_at_zero(Ta, Tb, Z):
+    z = jnp.zeros(6, Ta.dtype)
+    return edge_residual(Ta, Tb, Z, z, z)
+
+
+_jac_edge = jax.jacfwd(edge_residual, argnums=(3, 4))
+
+
+def edge_terms(poses, edge_a, edge_b, edge_meas, edge_weight, info_sqrt,
+               huber_delta: float):
+    """Whitened residuals + Jacobians for all edges.
+
+    info_sqrt: [6] sqrt of the diagonal information ([trans x3, rot x3]).
+    Returns (r [E,6], J_a [E,6,6], J_b [E,6,6], cost).
+    """
+    Ta = poses[edge_a]
+    Tb = poses[edge_b]
+    r = jax.vmap(_res_at_zero)(Ta, Tb, edge_meas)
+    z = jnp.zeros((edge_a.shape[0], 6), poses.dtype)
+    J_a, J_b = jax.vmap(_jac_edge)(Ta, Tb, edge_meas, z, z)
+
+    r = r * info_sqrt[None, :]
+    J_a = J_a * info_sqrt[None, :, None]
+    J_b = J_b * info_sqrt[None, :, None]
+
+    s = jnp.sum(r * r, axis=-1)
+    d2 = huber_delta * huber_delta
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-18))
+    hw = jnp.where(s <= d2, 1.0, huber_delta / sqrt_s)
+    rho = jnp.where(s <= d2, s, 2.0 * huber_delta * sqrt_s - d2)
+    cost = 0.5 * jnp.sum(rho * edge_weight)
+
+    wscale = (jnp.sqrt(hw) * edge_weight)[:, None]
+    return r * wscale, J_a * wscale[..., None], J_b * wscale[..., None], cost
+
+
+def _seg_sum(x, ids, num):
+    return jax.ops.segment_sum(x, ids, num_segments=num)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gn_step(prob: PoseGraphProblem, cfg: PoseGraphConfig):
+    """One damped Gauss-Newton iteration over the whole graph."""
+    info_sqrt = jnp.asarray(
+        [np.sqrt(cfg.info_translation)] * 3 + [np.sqrt(cfg.info_rotation)] * 3,
+        prob.poses.dtype,
+    )
+    r, J_a, J_b, cost = edge_terms(
+        prob.poses, prob.edge_a, prob.edge_b, prob.edge_meas,
+        prob.edge_weight, info_sqrt, cfg.huber_delta,
+    )
+    N = prob.poses.shape[0]
+
+    # Gradient: b = -(J^T r) accumulated per vertex.
+    g_a = jnp.einsum("eki,ek->ei", J_a, r)
+    g_b = jnp.einsum("eki,ek->ei", J_b, r)
+    b = -(_seg_sum(g_a, prob.edge_a, N) + _seg_sum(g_b, prob.edge_b, N))
+    b = b * prob.vertex_mask[:, None]
+
+    # Block-diagonal of H for the Jacobi preconditioner.
+    H_aa = jnp.einsum("eki,ekj->eij", J_a, J_a)
+    H_bb = jnp.einsum("eki,ekj->eij", J_b, J_b)
+    diag = _seg_sum(H_aa, prob.edge_a, N) + _seg_sum(H_bb, prob.edge_b, N)
+    eye6 = jnp.eye(6, dtype=diag.dtype)
+    diag = diag + cfg.damping * eye6[None]
+    diag = jnp.where(prob.vertex_mask[:, None, None] > 0, diag, eye6[None])
+    M_inv = jnp.linalg.inv(diag)
+
+    def matvec(x):
+        xm = x * prob.vertex_mask[:, None]
+        y = (
+            jnp.einsum("eij,ej->ei", J_a, xm[prob.edge_a])
+            + jnp.einsum("eij,ej->ei", J_b, xm[prob.edge_b])
+        )  # [E,6] = J_e @ x
+        out = (
+            _seg_sum(jnp.einsum("eki,ek->ei", J_a, y), prob.edge_a, N)
+            + _seg_sum(jnp.einsum("eki,ek->ei", J_b, y), prob.edge_b, N)
+        )
+        out = out + cfg.damping * xm
+        return out * prob.vertex_mask[:, None] + x * (1.0 - prob.vertex_mask[:, None])
+
+    def precond_cg(bvec):
+        def precond(rv):
+            return jnp.einsum("nij,nj->ni", M_inv, rv)
+
+        x0 = jnp.zeros_like(bvec)
+        r0 = bvec
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+        bn = jnp.sqrt(jnp.sum(bvec * bvec))
+
+        def body(state):
+            i, x, rv, p, rz = state
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x = x + alpha * p
+            rv = rv - alpha * Ap
+            zv = precond(rv)
+            rz_new = jnp.sum(rv * zv)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            return i + 1, x, rv, zv + beta * p, rz_new
+
+        def cond(state):
+            i, x, rv, p, rz = state
+            return (i < cfg.cg_iterations) & (
+                jnp.sqrt(jnp.sum(rv * rv)) > cfg.cg_tol * bn
+            )
+
+        _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+        return x
+
+    delta = precond_cg(b) * prob.vertex_mask[:, None]
+    poses_new = se3.normalize_pose(prob.poses @ se3.se3_exp(delta))
+    return prob._replace(poses=poses_new), cost
+
+
+class PoseGraphOptimizer:
+    """Host orchestration over the WorldMap, incremental like the reference.
+
+    `m_last_id` semantics (ref pose_graph_optimizer.cpp:56-59): each call
+    extends the odometry chain from the last optimized frame to the current
+    end, then adds the pending loop edges, optimizes, writes back, and
+    propagates the un-optimized tail.
+    """
+
+    def __init__(self, world, cfg: Optional[PoseGraphConfig] = None,
+                 bundle_adjuster=None, loop_matcher=None):
+        self.world = world
+        self.cfg = cfg or PoseGraphConfig()
+        self.ba = bundle_adjuster
+        self.loop_matcher = loop_matcher  # callable (a, b) -> (Z 4x4, ok)
+        self.loop_edges: list = []        # committed (a, b) pairs
+        self.last_stats = {}
+
+    def add_loop_edge(self, a: int, b: int):
+        self.loop_edges.append((int(a), int(b)))
+
+    def optimize(self, run_global_ba: bool = True) -> dict:
+        world = self.world
+        n = world.num_frames
+        if n < 2:
+            return {}
+
+        end_id = n - 1
+        # Odometry measurements for frames [1, end_id] from stored rel poses
+        # (ref :126-172).
+        edge_a = list(range(0, end_id))
+        edge_b = list(range(1, end_id + 1))
+        meas = [world.pose_rel[i] for i in range(1, end_id + 1)]
+        weights = [1.0] * len(edge_a)
+
+        # Loop-closure edges: re-match features, RANSAC a relative transform
+        # (ref :175-217). Z satisfies T_dst^-1 T_src = Z for edge
+        # (a=dst, b=src).
+        n_loop = 0
+        for (src, dst) in self.loop_edges:
+            if self.loop_matcher is None:
+                continue
+            Z, ok = self.loop_matcher(src, dst)
+            if not ok:
+                continue
+            edge_a.append(dst)
+            edge_b.append(src)
+            meas.append(np.asarray(Z, np.float32))
+            weights.append(1.0)
+            n_loop += 1
+        self.loop_edges.clear()  # consumed (ref :216)
+
+        E = len(edge_a)
+        E_pad = max(8, 1 << (E - 1).bit_length())
+        ea = np.zeros(E_pad, np.int32)
+        eb = np.zeros(E_pad, np.int32)
+        em = np.tile(np.eye(4, dtype=np.float32), (E_pad, 1, 1))
+        ew = np.zeros(E_pad, np.float32)
+        ea[:E] = edge_a
+        eb[:E] = edge_b
+        em[:E] = np.stack(meas)
+        ew[:E] = weights
+
+        vmask = np.ones(n, np.float32)
+        vmask[0] = 0.0  # gauge fix (ref :61-65, frame 0 fixed at :119-121)
+
+        prob = PoseGraphProblem(
+            poses=jnp.asarray(world.pose_global[:n].copy()),
+            edge_a=jnp.asarray(ea),
+            edge_b=jnp.asarray(eb),
+            edge_meas=jnp.asarray(em),
+            edge_weight=jnp.asarray(ew),
+            vertex_mask=jnp.asarray(vmask),
+        )
+
+        cost0 = cost = None
+        for _ in range(self.cfg.iterations):
+            prob, c = gn_step(prob, self.cfg)
+            if cost0 is None:
+                cost0 = float(c)
+            cost = float(c)
+
+        new_poses = np.asarray(prob.poses)
+        world.set_global_poses(np.arange(n, dtype=np.int32), new_poses)
+        # Tail propagation is a no-op here (all frames optimized), but kept
+        # for parity with ref :89-92 when optimizing a prefix.
+        world.propagate_tail(n)
+
+        stats = {
+            "num_vertices": n,
+            "num_edges": E,
+            "num_loop_edges": n_loop,
+            "cost_initial": cost0,
+            "cost_final": cost,
+        }
+
+        # Global BA after the pose-graph solve (ref :95).
+        if run_global_ba and self.ba is not None and n >= 2:
+            stats["global_ba"] = self.ba.optimize(0, n - 1)
+        self.last_stats = stats
+        return stats

@@ -1,0 +1,99 @@
+"""Stereo reprojection residual + Jacobians for bundle adjustment.
+
+The cost replicated here is the reference's Ceres functor
+(ref `src/reprojection_error.h:12-41`): a 6-dof camera (world->camera as
+angle-axis + translation, the `MatrixToPose` parameterization of ref
+`src/math_utils.h:13-25`) and a 3-dof world point produce a 4-vector residual
+
+    [u_l_hat - u_l, v_l_hat - v_l, u_r_hat - u_r, v_r_hat - v_r]
+
+by rotating the point into the rig frame and projecting through the static
+3x4 left/right projection matrices (process-global in the reference, ref
+`reprojection_error.h:43-51`; explicit arguments here).
+
+Jacobians come from `jax.jacfwd` over the per-observation function, vmapped —
+exact derivatives of the same global angle-axis parameterization Ceres
+autodiffs, with no hand-derived formulas to get wrong. Robustification is
+IRLS-style Huber whitening (sqrt of the Ceres Huber rho'), matching
+HuberLoss(1.0) at ref `src/bundle_adjuster.cpp:100`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stereo_orb_slam_tpu.geometry import se3
+
+
+def project_rig(P, X_rig):
+    """[3,4] @ homogeneous point -> pixel (u, v). X_rig: [..., 3]."""
+    Xh = jnp.concatenate([X_rig, jnp.ones_like(X_rig[..., :1])], axis=-1)
+    uvw = Xh @ P.T
+    w = uvw[..., 2:3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    return uvw[..., :2] / safe_w
+
+
+def residual_one(pose6, point, uv4, P_l, P_r):
+    """4-vector stereo reprojection residual for one (camera, point, obs)."""
+    R = se3.so3_exp(pose6[:3])
+    X_rig = R @ point + pose6[3:]
+    pred_l = project_rig(P_l, X_rig)
+    pred_r = project_rig(P_r, X_rig)
+    return jnp.concatenate([pred_l, pred_r]) - uv4
+
+
+# d residual / d pose6: [4,6]; d residual / d point: [4,3]
+_jac_one = jax.jacfwd(residual_one, argnums=(0, 1))
+
+
+def residuals_and_jacobians(pose6_all, points_all, obs_cam, obs_point, obs_uv,
+                            obs_weight, P_l, P_r, huber_delta: float):
+    """Whitened residuals + Jacobians for a batch of observations.
+
+    Args:
+      pose6_all: [C,6] world->camera poses.
+      points_all: [P,3] world points.
+      obs_cam/obs_point: [O] int32 indices.
+      obs_uv: [O,4]; obs_weight: [O] (0 for padding rows).
+
+    Returns (r [O,4], J_c [O,4,6], J_p [O,4,3], cost scalar) where r/J are
+    scaled by sqrt(huber_weight) * obs_weight and cost is the Ceres-style
+    robust total 0.5 * sum(rho(||r||^2)).
+    """
+    p6 = pose6_all[obs_cam]
+    pt = points_all[obs_point]
+
+    r = jax.vmap(residual_one, in_axes=(0, 0, 0, None, None))(
+        p6, pt, obs_uv, P_l, P_r
+    )
+    (J_c, J_p) = jax.vmap(_jac_one, in_axes=(0, 0, 0, None, None))(
+        p6, pt, obs_uv, P_l, P_r
+    )
+
+    s = jnp.sum(r * r, axis=-1)
+    d2 = huber_delta * huber_delta
+    # Ceres Huber: rho(s) = s (s<=d2) else 2*d*sqrt(s) - d2; rho' = min(1, d/sqrt(s))
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-18))
+    hw = jnp.where(s <= d2, 1.0, huber_delta / sqrt_s)
+    rho = jnp.where(s <= d2, s, 2.0 * huber_delta * sqrt_s - d2)
+    cost = 0.5 * jnp.sum(rho * obs_weight)
+
+    wscale = (jnp.sqrt(hw) * obs_weight)[:, None]
+    return r * wscale, J_c * wscale[..., None], J_p * wscale[..., None], cost
+
+
+def robust_cost(pose6_all, points_all, obs_cam, obs_point, obs_uv, obs_weight,
+                P_l, P_r, huber_delta: float):
+    """Cost only (no Jacobians) for LM accept/reject evaluation."""
+    p6 = pose6_all[obs_cam]
+    pt = points_all[obs_point]
+    r = jax.vmap(residual_one, in_axes=(0, 0, 0, None, None))(
+        p6, pt, obs_uv, P_l, P_r
+    )
+    s = jnp.sum(r * r, axis=-1)
+    d2 = huber_delta * huber_delta
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-18))
+    rho = jnp.where(s <= d2, s, 2.0 * huber_delta * sqrt_s - d2)
+    return 0.5 * jnp.sum(rho * obs_weight)

@@ -1,0 +1,152 @@
+"""Bundle adjustment: synthetic problems with known ground truth.
+
+Validates residual parity against the reference cost semantics (SURVEY.md
+C9/C10) and convergence: noisy poses/points must be pulled back to ground
+truth within tolerance.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from stereo_orb_slam_tpu.backend import ba, residuals
+from stereo_orb_slam_tpu.config import BAConfig
+from stereo_orb_slam_tpu.geometry import camera, se3
+from stereo_orb_slam_tpu.worldmap import WorldMap
+
+FX, CX, CY, B = 200.0, 160.0, 120.0, 0.5
+
+
+def make_rig():
+    left = camera.Pinhole.create(FX, FX, CX, CY)
+    pose_r = np.eye(4, dtype=np.float32)
+    pose_r[0, 3] = B
+    right = camera.Pinhole.create(FX, FX, CX, CY, pose=pose_r)
+    return camera.StereoRig.create(left, right, rectified=True)
+
+
+def project4(P_l, P_r, X_cam):
+    def pr(P):
+        Xh = np.concatenate([X_cam, np.ones((len(X_cam), 1), np.float32)], 1)
+        uvw = Xh @ P.T
+        return uvw[:, :2] / uvw[:, 2:3]
+    return np.concatenate([pr(P_l), pr(P_r)], 1)
+
+
+def synth_ba_world(rng, n_frames=5, n_points=120, noise_px=0.0):
+    """Build a WorldMap with ground-truth geometry + optional pixel noise."""
+    rig = make_rig()
+    P_l = np.asarray(rig.left.projection)
+    P_r = np.asarray(rig.right.projection)
+
+    # Camera trajectory: forward motion with small rotations.
+    world = WorldMap()
+    gt_poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, n_frames):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rotation.from_rotvec(rng.normal(size=3) * 0.01).as_matrix()
+        T[:3, 3] = [0.05, 0.0, 1.0]
+        gt_poses.append(gt_poses[-1] @ T)
+
+    pts_w = np.stack(
+        [rng.uniform(-8, 8, n_points), rng.uniform(-2, 2, n_points),
+         rng.uniform(5, 30, n_points)], 1
+    ).astype(np.float32)
+
+    for i, G in enumerate(gt_poses):
+        rel = np.eye(4, dtype=np.float32) if i == 0 else (
+            np.linalg.inv(gt_poses[i - 1]) @ G
+        )
+        world.add_frame(rel)
+        if i == 0:
+            ids = world.add_points(pts_w, 0)
+        Ginv = np.linalg.inv(G)
+        X_cam = pts_w @ Ginv[:3, :3].T + Ginv[:3, 3]
+        vis = X_cam[:, 2] > 1.0
+        uv = project4(P_l, P_r, X_cam[vis])
+        if noise_px:
+            uv = uv + rng.normal(0, noise_px, uv.shape).astype(np.float32)
+        world.add_observations(i, ids[vis], uv.astype(np.float32))
+    return world, rig, np.stack(gt_poses), pts_w
+
+
+def test_residual_zero_at_ground_truth(rng):
+    world, rig, gt_poses, pts = synth_ba_world(rng)
+    adj = ba.BundleAdjuster(world, rig)
+    prob = world.ba_problem(0, world.num_frames)
+    pose6 = se3.matrix_to_pose6(se3.inverse(jnp.asarray(prob["cam_world"])))
+    cost = residuals.robust_cost(
+        pose6, jnp.asarray(prob["point_xyz"]),
+        jnp.asarray(prob["obs_cam"]), jnp.asarray(prob["obs_point"]),
+        jnp.asarray(prob["obs_uv"]), jnp.ones(len(prob["obs_cam"]), jnp.float32),
+        adj.P_l, adj.P_r, 1.0,
+    )
+    assert float(cost) < 1e-3
+
+
+def test_ba_recovers_from_perturbation(rng):
+    world, rig, gt_poses, pts_gt = synth_ba_world(rng)
+    n = world.num_frames
+    # Perturb all poses except frame 0 and all points.
+    for i in range(1, n):
+        d = np.eye(4, dtype=np.float32)
+        d[:3, :3] = Rotation.from_rotvec(rng.normal(size=3) * 0.01).as_matrix()
+        d[:3, 3] = rng.normal(size=3) * 0.15
+        world.pose_global[i] = world.pose_global[i] @ d
+    world.points[: world.num_points] += rng.normal(
+        0, 0.2, (world.num_points, 3)
+    ).astype(np.float32)
+
+    adj = ba.BundleAdjuster(world, rig, BAConfig(max_iterations=30))
+    stats = adj.optimize(0, n)
+    assert stats["cost_final"] < stats["cost_initial"] * 1e-2
+
+    # Poses recovered (up to the fixed-gauge frame 0).
+    for i in range(n):
+        dT = np.linalg.inv(gt_poses[i]) @ world.pose_global[i]
+        assert np.linalg.norm(dT[:3, 3]) < 0.03, i
+        rot_err = np.linalg.norm(Rotation.from_matrix(dT[:3, :3]).as_rotvec())
+        assert rot_err < 0.01, i
+    # Points recovered.
+    err = np.linalg.norm(world.points[: world.num_points] - pts_gt, axis=1)
+    assert np.percentile(err, 90) < 0.05
+
+
+def test_ba_single_frame_moves_points_only(rng):
+    """Per-frame BA window [n-1, n): the lone pose is gauge-fixed, so only
+    landmarks refine (ref slam.cpp:123 + bundle_adjuster.cpp:113)."""
+    world, rig, gt_poses, pts_gt = synth_ba_world(rng, n_frames=2)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.3, (world.num_points, 3)
+    ).astype(np.float32)
+    pose_before = world.pose_global[0].copy()
+    adj = ba.BundleAdjuster(world, rig, BAConfig(max_iterations=15))
+    adj.optimize(0, 1)
+    np.testing.assert_allclose(world.pose_global[0], pose_before, atol=1e-6)
+    err = np.linalg.norm(world.points[: world.num_points] - pts_gt, axis=1)
+    # Points observed in frame 0 move back toward truth along the rays.
+    assert np.median(err) < 0.15
+
+
+def test_ba_huber_robust_to_outliers(rng):
+    world, rig, gt_poses, pts_gt = synth_ba_world(rng, noise_px=0.3)
+    # Corrupt 5% of observations badly.
+    n_obs = world.num_obs
+    idx = rng.choice(n_obs, n_obs // 20, replace=False)
+    world.obs_uv[idx] += rng.normal(0, 50, (len(idx), 4)).astype(np.float32)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.1, (world.num_points, 3)
+    ).astype(np.float32)
+
+    adj = ba.BundleAdjuster(world, rig, BAConfig(max_iterations=25))
+    adj.optimize(0, world.num_frames)
+    for i in range(world.num_frames):
+        dT = np.linalg.inv(gt_poses[i]) @ world.pose_global[i]
+        assert np.linalg.norm(dT[:3, 3]) < 0.05, i
+
+
+def test_point_bound_clamp(rng):
+    world, rig, *_ = synth_ba_world(rng)
+    adj = ba.BundleAdjuster(world, rig, BAConfig(max_iterations=3))
+    adj.optimize(0, world.num_frames)
+    assert np.all(np.abs(world.points[: world.num_points]) <= 10000.0)
