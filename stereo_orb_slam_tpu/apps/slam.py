@@ -1,0 +1,287 @@
+"""Full SLAM system + CLI.
+
+The TPU-native equivalent of the reference `slam` executable (ref
+`src/slam.cpp:40-174`): wires VisualOdometer -> per-frame BA ->
+sliding-window BA -> loop Query/Track -> (on loop exit) pose-graph
+optimization + global BA, then exports txt/PLY artifacts and the vocabulary.
+
+Component wiring matches ref `src/slam.cpp:84-101`: one shared WorldMap (the
+SoA replacement for the shared Frame*/MapPoint* vectors), the pose-graph
+optimizer holding the bundle adjuster (global BA after every pose-graph
+solve, ref pose_graph_optimizer.cpp:95), and the loop detector holding the
+optimizer (optimize triggered on loop exit, ref loop_detector.cpp:146).
+
+The loop-closure measurement path reuses the front-end matcher + RANSAC
+exactly as the reference reuses the static VisualOdometer::MatchPoints /
+CalcTransformation (ref pose_graph_optimizer.cpp:189,229): stored frame
+descriptor banks are re-matched, observations re-triangulated through the
+rig, and a rigid transform RANSAC-estimated; matched landmark identities are
+merged in the world map (union-find replacement for Frame::UpdateMapPoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_orb_slam_tpu.backend.ba import BundleAdjuster
+from stereo_orb_slam_tpu.backend.pose_graph import PoseGraphOptimizer
+from stereo_orb_slam_tpu.config import SlamConfig
+from stereo_orb_slam_tpu.frontend import ransac as ransac_mod
+from stereo_orb_slam_tpu.frontend.odometer import VisualOdometer
+from stereo_orb_slam_tpu.geometry import camera as cam_mod
+from stereo_orb_slam_tpu.io import calib, datasets, export
+from stereo_orb_slam_tpu.loop import LoopDetector, OrbVocabulary
+from stereo_orb_slam_tpu.ops import match as match_mod
+from stereo_orb_slam_tpu.utils import evaluate, logging as slog
+from stereo_orb_slam_tpu.utils.profiling import StageTimers
+from stereo_orb_slam_tpu.worldmap import WorldMap
+
+
+def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
+                      seed: int = 1234):
+    """(src, dst) -> (Z, ok): re-match two frames' stored features and
+    RANSAC their relative transform; merge matched landmark identities.
+
+    Z satisfies X_dst = Z @ X_src (equivalently T_dst^-1 T_src = Z), matching
+    the reference's loop-edge convention (SURVEY.md C12)."""
+    key_holder = [jax.random.key(seed)]
+
+    def matcher(src: int, dst: int):
+        fe, rc = cfg.frontend, cfg.ransac
+        d_src = jnp.asarray(world.frame_desc[src])
+        d_dst = jnp.asarray(world.frame_desc[dst])
+        v_src = jnp.asarray(world.frame_feat_valid[src])
+        v_dst = jnp.asarray(world.frame_feat_valid[dst])
+        # Query = dst (the newer frame), train = src, as MatchPoints is
+        # called with (src, dst) at ref pose_graph_optimizer.cpp:229.
+        idx, ok, _ = match_mod.match_descriptors(
+            d_dst, d_src, v_dst, v_src,
+            max_distance=fe.match_max_distance, ratio=fe.match_ratio,
+        )
+        idx_np = np.asarray(idx)
+        ok_np = np.asarray(ok)
+        if ok_np.sum() < rc.min_pairs:
+            return np.eye(4, dtype=np.float32), False
+
+        uv_dst = world.frame_feat_uv[dst]
+        uv_src = world.frame_feat_uv[src][idx_np]
+        # Triangulate both frames' stereo observations through the rig.
+        from stereo_orb_slam_tpu.geometry.camera import triangulate
+
+        pts_dst, tv_d = triangulate(rig, jnp.asarray(uv_dst[:, :2]), jnp.asarray(uv_dst[:, 2:]))
+        pts_src, tv_s = triangulate(rig, jnp.asarray(uv_src[:, :2]), jnp.asarray(uv_src[:, 2:]))
+        pair_valid = jnp.asarray(ok_np) & tv_d & tv_s
+
+        key_holder[0], sub = jax.random.split(key_holder[0])
+        # curr = src, prev = dst => T: X_dst = T @ X_src.
+        res = ransac_mod.solve(
+            sub,
+            pts_src, pts_dst,
+            jnp.asarray(uv_src), jnp.asarray(uv_dst),
+            pair_valid, jnp.ones(len(uv_dst), jnp.float32),
+            rig.left.projection, rig.right.projection,
+            num_hypotheses=rc.num_hypotheses,
+            inlier_threshold_px=rc.inlier_threshold_px,
+            min_pairs=rc.min_pairs,
+            min_inliers=rc.min_inliers,
+        )
+        if not bool(res.success):
+            return np.eye(4, dtype=np.float32), False
+
+        # Merge matched landmark identities (Frame::UpdateMapPoint
+        # equivalent, ref pose_graph_optimizer.cpp:241): dst's landmark is
+        # replaced by src's for inlier matches.
+        inl = np.asarray(res.inlier_mask)
+        dst_pid = world.frame_feat_point[dst]
+        src_pid = world.frame_feat_point[src][idx_np]
+        sel = inl & (dst_pid >= 0) & (src_pid >= 0)
+        if sel.any():
+            world.merge_points(dst_pid[sel], src_pid[sel])
+        return np.asarray(res.transform), True
+
+    return matcher
+
+
+class SlamSystem:
+    """End-to-end SLAM over a stereo stream."""
+
+    def __init__(self, rig: cam_mod.StereoRig, cfg: Optional[SlamConfig] = None,
+                 vocab: Optional[OrbVocabulary] = None, seed: int = 0,
+                 vocab_train_frames: int = 12):
+        self.cfg = cfg or SlamConfig()
+        self.rig = rig
+        self.world = WorldMap(feat_slots=self.cfg.frontend.num_features)
+        self.vo = VisualOdometer(
+            self.world, rig, self.cfg.frontend, self.cfg.ransac, seed=seed
+        )
+        self.ba = BundleAdjuster(self.world, rig, self.cfg.ba)
+        self.pgo = PoseGraphOptimizer(
+            self.world, self.cfg.pose_graph, bundle_adjuster=self.ba,
+            loop_matcher=make_loop_matcher(self.world, rig, self.cfg),
+        )
+        self.vocab = vocab
+        self.vocab_train_frames = vocab_train_frames
+        self.loop: Optional[LoopDetector] = None
+        if vocab is not None:
+            self.loop = LoopDetector(vocab, self.cfg.loop, optimizer=self.pgo)
+        self.curr_pose = np.eye(4, dtype=np.float32)
+        self.timers = StageTimers()
+        self.frame_index = 0
+
+    # ------------------------------------------------------------ vocabulary
+    def _maybe_train_vocab(self):
+        """Train the vocabulary from the first frames' descriptors, then
+        backfill the BoW database for all frames recorded so far. (The
+        reference instead loads a prebuilt DBoW2 file, ref slam.cpp:101.)"""
+        if self.loop is not None or self.world.num_frames < self.vocab_train_frames:
+            return
+        n = self.world.num_frames
+        descs = []
+        for f in range(n):
+            v = self.world.frame_feat_valid[f]
+            descs.append(self.world.frame_desc[f][v])
+        corpus = np.concatenate(descs) if descs else np.zeros((0, 8), np.uint32)
+        if len(corpus) < self.cfg.loop.vocab_words:
+            return
+        slog.info(f"training vocabulary on {len(corpus)} descriptors")
+        self.vocab = OrbVocabulary.train(
+            corpus, num_words=self.cfg.loop.vocab_words,
+            iterations=self.cfg.loop.vocab_iterations,
+        )
+        self.loop = LoopDetector(self.vocab, self.cfg.loop, optimizer=self.pgo)
+        for f in range(n):
+            self.loop.track(
+                self.world.frame_desc[f], self.world.frame_feat_valid[f]
+            )
+
+    # ----------------------------------------------------------------- frames
+    def process(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
+        """One frame through the full pipeline (ref slam.cpp:108-148)."""
+        cfg = self.cfg
+        with self.timers.time("vo.track"):
+            trans = self.vo.track(img_l, img_r)
+
+        n = self.world.num_frames
+        if n > 0 and self.vo.success:
+            if cfg.per_frame_ba:
+                with self.timers.time("ba.per_frame"):
+                    self.ba.optimize(n - 1, n)
+            if n % cfg.refine_interval == 0:
+                with self.timers.time("ba.window"):
+                    self.ba.optimize(max(0, n - 2 * cfg.refine_interval), n)
+
+        # Loop detection on the latest recorded frame's features
+        # (ref slam.cpp:131-134; Query before Track so the DB excludes the
+        # current frame).
+        feats = self.vo.current_frame_features
+        if feats is not None and self.world.num_frames > 0:
+            self._maybe_train_vocab()
+            if self.loop is not None:
+                desc, _, _, valid = feats
+                with self.timers.time("loop.query"):
+                    self.loop.query(desc, valid)
+                    self.loop.track(desc, valid)
+
+        self.curr_pose = self.curr_pose @ trans
+        self.frame_index += 1
+        return trans
+
+    def finish(self) -> dict:
+        """End-of-sequence: pose graph + final global BA (ref slam.cpp:152-156)."""
+        stats = {}
+        with self.timers.time("pose_graph.final"):
+            stats["pose_graph"] = self.pgo.optimize()
+        n = self.world.num_frames
+        if n >= 2:
+            with self.timers.time("ba.final"):
+                # Reference global BA excludes the last frame (end = N-1,
+                # exclusive; ref slam.cpp:156) — kept for parity.
+                stats["final_ba"] = self.ba.optimize(0, n - 1)
+        return stats
+
+    def export(self, folder: str, suffix: Optional[str] = None):
+        """Dump txt + PLY artifacts (ref slam.cpp:159-171)."""
+        suffix = suffix or self.cfg.output_suffix
+        os.makedirs(folder, exist_ok=True)
+        export.dump_world(folder, self.world)
+        w = self.world
+        poses = w.pose_global[: w.num_frames]
+        live = w.point_obs_count[: w.num_points] > 0
+        export.save_poses_ply(
+            os.path.join(folder, f"waypoints_{suffix}.ply"), poses
+        )
+        export.save_map_ply(
+            os.path.join(folder, f"map_{suffix}.ply"), poses,
+            w.points[: w.num_points][live],
+            w.point_obs_count[: w.num_points][live],
+        )
+        edges = getattr(self.pgo, "committed_edges", [])
+        export.save_pose_graph_ply(
+            os.path.join(folder, f"pose_graph_{suffix}.ply"), poses, edges
+        )
+        export.save_kitti_trajectory(
+            os.path.join(folder, f"trajectory_{suffix}.txt"), poses
+        )
+        if self.loop is not None:
+            self.loop.save_trace(os.path.join(folder, "loop_matches.txt"))
+        if self.vocab is not None:
+            self.vocab.save(os.path.join(folder, "vocabulary.npz"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="TPU-native stereo SLAM (full pipeline)"
+    )
+    ap.add_argument("--dataset", required=True, help="kitti | EuRoc | other")
+    ap.add_argument("--folder", required=True)
+    ap.add_argument("--camera", required=True, help="calibration file")
+    ap.add_argument("--refine_interval", type=int, default=10)
+    ap.add_argument("--output_suffix", default="slam")
+    ap.add_argument("--output_dir", default=".")
+    ap.add_argument("--vocab", default=None, help="vocabulary .npz (optional)")
+    ap.add_argument("--max_frames", type=int, default=0)
+    ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
+    args = ap.parse_args(argv)
+
+    pairs = datasets.load_dataset(args.dataset, args.folder)
+    if args.max_frames:
+        pairs = pairs[: args.max_frames]
+    rig = calib.load_camera(args.camera)
+    vocab = OrbVocabulary.load(args.vocab) if args.vocab else None
+    cfg = SlamConfig().replace(
+        refine_interval=args.refine_interval, output_suffix=args.output_suffix
+    )
+    system = SlamSystem(rig, cfg, vocab=vocab)
+
+    reader = datasets.PrefetchingReader(pairs)
+    t_start = time.perf_counter()
+    for i, (img_l, img_r) in enumerate(reader):
+        t0 = time.perf_counter()
+        system.process(img_l, img_r)
+        dt = (time.perf_counter() - t0) * 1e3
+        slog.info(f"frame #{i}: {dt:.1f} ms")
+    system.finish()
+    total = time.perf_counter() - t_start
+
+    system.export(args.output_dir, args.output_suffix)
+    n = system.world.num_frames
+    slog.info(f"processed {len(pairs)} frames -> {n} tracked, "
+              f"{len(pairs) / total:.2f} fps")
+    print(system.timers.report())
+
+    if args.gt:
+        gt = evaluate.load_kitti_gt(args.gt)
+        ate = evaluate.ate_rmse(system.world.pose_global[:n], gt)
+        t_rpe, r_rpe = evaluate.rpe(system.world.pose_global[:n], gt)
+        print(f"ATE RMSE: {ate:.3f} m   RPE: {t_rpe:.4f} m / {r_rpe:.5f} rad")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Visual-odometry-only CLI (no BA / loop closure / pose graph).
+
+Equivalent of the reference `visual_odometry` executable (ref
+`src/visual_odometry.cpp:33-123`): per-frame tracking, pose integration with
+renormalization, txt + PLY export. This is the minimal end-to-end slice
+(BASELINE.json config 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from stereo_orb_slam_tpu.frontend.odometer import VisualOdometer
+from stereo_orb_slam_tpu.io import calib, datasets, export
+from stereo_orb_slam_tpu.utils import evaluate, logging as slog
+from stereo_orb_slam_tpu.worldmap import WorldMap
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native stereo visual odometry")
+    ap.add_argument("--dataset", required=True, help="kitti | EuRoc | other")
+    ap.add_argument("--folder", required=True)
+    ap.add_argument("--camera", required=True)
+    ap.add_argument("--output_dir", default=".")
+    ap.add_argument("--output_suffix", default="vo")
+    ap.add_argument("--max_frames", type=int, default=0)
+    ap.add_argument("--gt", default=None)
+    args = ap.parse_args(argv)
+
+    pairs = datasets.load_dataset(args.dataset, args.folder)
+    if args.max_frames:
+        pairs = pairs[: args.max_frames]
+    rig = calib.load_camera(args.camera)
+    world = WorldMap()
+    vo = VisualOdometer(world, rig)
+
+    reader = datasets.PrefetchingReader(pairs)
+    t_start = time.perf_counter()
+    times = []
+    for i, (img_l, img_r) in enumerate(reader):
+        t0 = time.perf_counter()
+        vo.track(img_l, img_r)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        slog.info(f"frame #{i}: {dt * 1e3:.1f} ms")
+    total = time.perf_counter() - t_start
+
+    n = world.num_frames
+    export.dump_world(args.output_dir, world)
+    export.save_poses_ply(
+        f"{args.output_dir}/waypoints_{args.output_suffix}.ply",
+        world.pose_global[:n],
+    )
+    export.save_kitti_trajectory(
+        f"{args.output_dir}/trajectory_{args.output_suffix}.txt",
+        world.pose_global[:n],
+    )
+    fps = len(pairs) / total
+    med_ms = float(np.median(times) * 1e3) if times else 0.0
+    slog.info(f"{len(pairs)} frames, {fps:.2f} fps, median {med_ms:.1f} ms/frame")
+
+    if args.gt:
+        gt = evaluate.load_kitti_gt(args.gt)
+        ate = evaluate.ate_rmse(world.pose_global[:n], gt)
+        t_rpe, r_rpe = evaluate.rpe(world.pose_global[:n], gt)
+        print(f"ATE RMSE: {ate:.3f} m   RPE: {t_rpe:.4f} m / {r_rpe:.5f} rad")
+
+
+if __name__ == "__main__":
+    main()

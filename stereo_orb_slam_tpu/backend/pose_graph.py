@@ -184,7 +184,8 @@ class PoseGraphOptimizer:
         self.cfg = cfg or PoseGraphConfig()
         self.ba = bundle_adjuster
         self.loop_matcher = loop_matcher  # callable (a, b) -> (Z 4x4, ok)
-        self.loop_edges: list = []        # committed (a, b) pairs
+        self.loop_edges: list = []        # pending (a, b) pairs
+        self.committed_edges: list = []   # all (a, b) ever optimized (for PLY)
         self.last_stats = {}
 
     def add_loop_edge(self, a: int, b: int):
@@ -218,6 +219,7 @@ class PoseGraphOptimizer:
             edge_b.append(src)
             meas.append(np.asarray(Z, np.float32))
             weights.append(1.0)
+            self.committed_edges.append((src, dst))
             n_loop += 1
         self.loop_edges.clear()  # consumed (ref :216)
 
