@@ -1,0 +1,151 @@
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline metric (BASELINE.json): front-end frames/sec/chip on KITTI-sized
+stereo pairs (376x1241) through the FULL per-frame pipeline — Shi-Tomasi
+detection, ORB description, MXU stereo+temporal Hamming matching, rectified
+triangulation, 128-hypothesis batched RANSAC.
+
+Baseline: the reference publishes no numbers (BASELINE.md) and is not
+buildable here (its g2o/DBoW2 binaries and the ransac_solver submodule are
+absent), so vs_baseline uses the documented estimate of the reference's CPU
+front end at 10 fps (goodFeaturesToTrack + cornerSubPix(40 iters) + ORB +
+two O(N^2) brute-force Hamming kNNs at 1000 features + up to 100 sequential
+RANSAC iterations, single-threaded — ~100 ms/frame on a desktop core, per
+the per-frame ms prints it was built around, ref src/slam.cpp:136-138).
+
+Also measured (reported in the JSON extras): BA LM iterations/sec on a
+global-BA-sized Schur/PCG problem, and matcher throughput.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_pair(rng, h=376, w=1241, shift=6):
+    base = rng.uniform(0, 255, (h // 8, (w + 64) // 8 + 2)).astype(np.float32)
+    base = np.kron(base, np.ones((8, 8), np.float32))[:h, : w + 64]
+    img_l = base[:, 32 : 32 + w]
+    img_r = base[:, 32 - shift : 32 - shift + w]  # uniform disparity
+    img_t = base[:, 36 : 36 + w]  # temporal shift
+    return img_l, img_r, img_t
+
+
+def bench_frontend(n_warm=3, n_iter=20):
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.config import FrontendConfig, RansacConfig
+    from stereo_orb_slam_tpu.frontend.odometer import empty_slots, frontend_step
+    from stereo_orb_slam_tpu.geometry import camera
+
+    fe = FrontendConfig()
+    rc = RansacConfig()
+    fx, cx, cy, b = 718.856, 607.1928, 185.2157, 0.5371657
+    left = camera.Pinhole.create(fx, fx, cx, cy)
+    pose_r = np.eye(4, dtype=np.float32)
+    pose_r[0, 3] = b
+    right = camera.Pinhole.create(fx, fx, cx, cy, pose=pose_r)
+    rig = camera.StereoRig.create(left, right, rectified=True)
+    maxd = jnp.float32(float(np.asarray(rig.max_sensible_distance())))
+
+    rng = np.random.default_rng(0)
+    il, ir, it_ = synth_pair(rng)
+    img_l = jnp.asarray(il)
+    img_r = jnp.asarray(ir)
+    img_t = jnp.asarray(it_)
+    key = jax.random.key(0)
+
+    prev = empty_slots(fe.num_features)
+    # Build a real prev state (so temporal matching + RANSAC run hot).
+    res = frontend_step(img_l, img_r, prev, jnp.asarray(False), key, rig, maxd, fe, rc)
+    prev = res.slots
+
+    args = (img_t, img_r, prev, jnp.asarray(True), key, rig, maxd, fe, rc)
+    for _ in range(n_warm):
+        out = frontend_step(*args)
+    jax.block_until_ready(out.transform)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = frontend_step(*args)
+    jax.block_until_ready(out.transform)
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt, dt * 1e3
+
+
+def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.backend.ba import BAProblem, lm_step
+    from stereo_orb_slam_tpu.config import BAConfig
+
+    rng = np.random.default_rng(0)
+    fx, cx, cy, b = 718.856, 607.1928, 185.2157, 0.5371657
+    P_l = np.array([[fx, 0, cx, 0], [0, fx, cy, 0], [0, 0, 1, 0]], np.float32)
+    P_r = P_l.copy()
+    P_r[0, 3] = -fx * b
+
+    O = C * obs_per_cam
+    pts = np.stack(
+        [rng.uniform(-20, 20, P), rng.uniform(-5, 5, P), rng.uniform(5, 60, P)], 1
+    ).astype(np.float32)
+    pose6 = rng.normal(0, 0.01, (C, 6)).astype(np.float32)
+    obs_cam = np.repeat(np.arange(C, dtype=np.int32), obs_per_cam)
+    obs_point = rng.integers(0, P, O).astype(np.int32)
+    X = pts[obs_point]
+
+    def proj(Pm):
+        Xh = np.concatenate([X, np.ones((O, 1), np.float32)], 1)
+        uvw = Xh @ Pm.T
+        return uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+
+    obs_uv = np.concatenate([proj(P_l), proj(P_r)], 1).astype(np.float32)
+    obs_uv += rng.normal(0, 0.5, obs_uv.shape).astype(np.float32)
+
+    cfg = BAConfig(cg_iterations=25)
+    prob = BAProblem(
+        pose6=jnp.asarray(pose6), points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam), obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(obs_uv), obs_weight=jnp.ones(O, jnp.float32),
+        cam_mask=jnp.asarray([0.0] + [1.0] * (C - 1), jnp.float32),
+        point_mask=jnp.ones(P, jnp.float32),
+        P_l=jnp.asarray(P_l), P_r=jnp.asarray(P_r),
+    )
+    lam = jnp.float32(1e-4)
+    for _ in range(n_warm):
+        prob2, lam2, *_ = lm_step(prob, lam, cfg)
+    jax.block_until_ready(prob2.pose6)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        prob2, lam2, *_ = lm_step(prob, lam, cfg)
+    jax.block_until_ready(prob2.pose6)
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt, {"C": C, "P": P, "O": O}
+
+
+def main():
+    frontend_fps, ms_per_frame = bench_frontend()
+    ba_ips, ba_shape = bench_ba()
+
+    baseline_fps = 10.0  # documented estimate of the reference CPU front end
+    result = {
+        "metric": "frontend_frames_per_sec_per_chip",
+        "value": round(frontend_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(frontend_fps / baseline_fps, 2),
+        "frame_ms": round(ms_per_frame, 2),
+        "ba_lm_iterations_per_sec": round(ba_ips, 2),
+        "ba_problem": ba_shape,
+        "image_size": "376x1241",
+        "num_features": 1024,
+        "baseline_note": "reference CPU frontend estimated at 10 fps (not buildable: absent submodule + prebuilt g2o)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

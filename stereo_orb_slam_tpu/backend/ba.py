@@ -53,11 +53,19 @@ class BAProblem(NamedTuple):
     P_r: jnp.ndarray        # [3,4]
 
 
-def _seg_sum(x, ids, num):
-    return jax.ops.segment_sum(x, ids, num_segments=num)
+def _seg_sum(x, ids, num, axis_name=None):
+    """Segment-sum, globally reduced over `axis_name` when running inside a
+    shard_map region (the distributed-BA reduction: local partial sums over
+    each device's observation shard, then one psum over the mesh —
+    SURVEY.md §5.8)."""
+    out = jax.ops.segment_sum(x, ids, num_segments=num)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
-def build_normal_equations(prob: BAProblem, huber_delta: float):
+def build_normal_equations(prob: BAProblem, huber_delta: float,
+                           axis_name=None):
     r, J_c, J_p, cost = res_mod.residuals_and_jacobians(
         prob.pose6, prob.points, prob.obs_cam, prob.obs_point, prob.obs_uv,
         prob.obs_weight, prob.P_l, prob.P_r, huber_delta,
@@ -67,10 +75,12 @@ def build_normal_equations(prob: BAProblem, huber_delta: float):
     JcT_Jc = jnp.einsum("oki,okj->oij", J_c, J_c)        # [O,6,6]
     JpT_Jp = jnp.einsum("oki,okj->oij", J_p, J_p)        # [O,3,3]
     W = jnp.einsum("oki,okj->oij", J_c, J_p)             # [O,6,3]
-    H_cc = _seg_sum(JcT_Jc, prob.obs_cam, C)             # [C,6,6]
-    H_pp = _seg_sum(JpT_Jp, prob.obs_point, P)           # [P,3,3]
-    b_c = -_seg_sum(jnp.einsum("oki,ok->oi", J_c, r), prob.obs_cam, C)
-    b_p = -_seg_sum(jnp.einsum("oki,ok->oi", J_p, r), prob.obs_point, P)
+    H_cc = _seg_sum(JcT_Jc, prob.obs_cam, C, axis_name)  # [C,6,6]
+    H_pp = _seg_sum(JpT_Jp, prob.obs_point, P, axis_name)  # [P,3,3]
+    b_c = -_seg_sum(jnp.einsum("oki,ok->oi", J_c, r), prob.obs_cam, C, axis_name)
+    b_p = -_seg_sum(jnp.einsum("oki,ok->oi", J_p, r), prob.obs_point, P, axis_name)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     return H_cc, H_pp, W, b_c, b_p, cost
 
 
@@ -98,17 +108,22 @@ def _batched_spd_solve(A, b):
     return x[..., 0]
 
 
-def schur_matvec(x, H_cc_l, Hpp_inv_solve, W, obs_cam, obs_point, cam_mask):
+def schur_matvec(x, H_cc_l, Hpp_inv_solve, W, obs_cam, obs_point, cam_mask,
+                 axis_name=None):
     """S @ x with S = H_cc_l - W H_pp_l^-1 W^T, matrix-free.
 
     x: [C,6]. Fixed cameras are pinned via cam_mask (identity rows).
+    Under shard_map, W/obs_* are per-device shards; the two segment-sums
+    psum over the mesh while the point marginalization stays local.
     """
     xm = x * cam_mask[:, None]
     u = jnp.einsum("oij,oi->oj", W, xm[obs_cam])          # [O,3] = W^T x
-    z = _seg_sum(u, obs_point, Hpp_inv_solve.shape[0])    # [P,3]
+    z = _seg_sum(u, obs_point, Hpp_inv_solve.shape[0], axis_name)  # [P,3]
     w = _batched_spd_solve(Hpp_inv_solve, z)              # [P,3]
     v = jnp.einsum("oij,oj->oi", W, w[obs_point])         # [O,6] = W w
-    out = jnp.einsum("cij,cj->ci", H_cc_l, xm) - _seg_sum(v, obs_cam, x.shape[0])
+    out = jnp.einsum("cij,cj->ci", H_cc_l, xm) - _seg_sum(
+        v, obs_cam, x.shape[0], axis_name
+    )
     return out * cam_mask[:, None] + x * (1.0 - cam_mask[:, None])
 
 
@@ -145,13 +160,16 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
     return x
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def lm_step(prob: BAProblem, lam, cfg: BAConfig):
+def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
     """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
 
     Returns (new_prob, new_lam, accepted, cost_before, cost_after).
+    With `axis_name` set this runs inside shard_map: prob.obs_* are local
+    shards, poses/points replicated, reductions psum'd.
     """
-    H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(prob, cfg.huber_delta)
+    H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
+        prob, cfg.huber_delta, axis_name
+    )
 
     H_cc_l = _damp_blocks(H_cc, lam)
     H_pp_l = _damp_blocks(H_pp, lam)
@@ -163,7 +181,7 @@ def lm_step(prob: BAProblem, lam, cfg: BAConfig):
     hp_bp = _batched_spd_solve(H_pp_l, b_p)
     rhs = b_c - _seg_sum(
         jnp.einsum("oij,oj->oi", W, hp_bp[prob.obs_point]), prob.obs_cam,
-        b_c.shape[0],
+        b_c.shape[0], axis_name,
     )
     rhs = rhs * prob.cam_mask[:, None]
 
@@ -177,13 +195,16 @@ def lm_step(prob: BAProblem, lam, cfg: BAConfig):
         schur_matvec,
         H_cc_l=H_cc_safe, Hpp_inv_solve=H_pp_l, W=W,
         obs_cam=prob.obs_cam, obs_point=prob.obs_point, cam_mask=prob.cam_mask,
+        axis_name=axis_name,
     )
     dc = pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
     dc = dc * prob.cam_mask[:, None]
 
     # Back-substitute points: dp = H_pp^-1 (b_p - W^T dc)
     u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
-    dp = _batched_spd_solve(H_pp_l, b_p - _seg_sum(u, prob.obs_point, b_p.shape[0]))
+    dp = _batched_spd_solve(
+        H_pp_l, b_p - _seg_sum(u, prob.obs_point, b_p.shape[0], axis_name)
+    )
     dp = dp * prob.point_mask[:, None]
 
     pose6_new = prob.pose6 + dc
@@ -193,6 +214,8 @@ def lm_step(prob: BAProblem, lam, cfg: BAConfig):
         pose6_new, points_new, prob.obs_cam, prob.obs_point, prob.obs_uv,
         prob.obs_weight, prob.P_l, prob.P_r, cfg.huber_delta,
     )
+    if axis_name is not None:
+        cost1 = jax.lax.psum(cost1, axis_name)
 
     accept = cost1 < cost0
     pose6_out = jnp.where(accept, pose6_new, prob.pose6)
@@ -202,6 +225,9 @@ def lm_step(prob: BAProblem, lam, cfg: BAConfig):
 
     new_prob = prob._replace(pose6=pose6_out, points=points_out)
     return new_prob, lam_new, accept, cost0, cost1
+
+
+lm_step = jax.jit(lm_step_impl, static_argnames=("cfg", "axis_name"))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:

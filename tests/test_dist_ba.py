@@ -1,0 +1,75 @@
+"""Distributed BA on a virtual 8-device CPU mesh: numerical equality with the
+single-device solve (SURVEY.md §4 distributed-test strategy)."""
+
+import jax
+import numpy as np
+import pytest
+
+from stereo_orb_slam_tpu.backend.ba import BundleAdjuster
+from stereo_orb_slam_tpu.config import BAConfig
+from stereo_orb_slam_tpu.parallel.dist_ba import DistributedBundleAdjuster
+from stereo_orb_slam_tpu.parallel.mesh import make_mesh
+from tests.test_ba import synth_ba_world
+
+
+@pytest.fixture
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_dist_matches_single_device(rng, eight_devices):
+    world_a, rig, gt_poses, _ = synth_ba_world(rng, n_frames=6, n_points=200)
+    # Identical perturbations on two copies of the same world.
+    pert_pose = {}
+    for i in range(1, world_a.num_frames):
+        d = np.eye(4, dtype=np.float32)
+        d[:3, 3] = rng.normal(size=3) * 0.1
+        pert_pose[i] = d
+    pert_pts = rng.normal(0, 0.15, (world_a.num_points, 3)).astype(np.float32)
+
+    import copy
+
+    world_b = copy.deepcopy(world_a)
+    for w in (world_a, world_b):
+        for i, d in pert_pose.items():
+            w.pose_global[i] = w.pose_global[i] @ d
+        w.points[: w.num_points] += pert_pts
+
+    cfg = BAConfig(max_iterations=10)
+    single = BundleAdjuster(world_a, rig, cfg)
+    s_stats = single.optimize(0, world_a.num_frames)
+
+    mesh = make_mesh(8, devices=eight_devices)
+    dist = DistributedBundleAdjuster(world_b, rig, mesh, cfg)
+    d_stats = dist.optimize(0, world_b.num_frames)
+
+    assert d_stats["num_devices"] == 8
+    # Costs agree to reduction-order tolerance.
+    assert np.isclose(
+        d_stats["cost_final"], s_stats["cost_final"],
+        rtol=1e-3, atol=1e-4,
+    )
+    # Recovered poses agree.
+    n = world_a.num_frames
+    np.testing.assert_allclose(
+        world_b.pose_global[:n], world_a.pose_global[:n], atol=5e-3
+    )
+    # Recovered points agree (both should be near ground truth).
+    np.testing.assert_allclose(
+        world_b.points[: world_b.num_points],
+        world_a.points[: world_a.num_points],
+        atol=2e-2,
+    )
+
+
+def test_dist_converges(rng, eight_devices):
+    world, rig, gt_poses, pts_gt = synth_ba_world(rng, n_frames=5)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.2, (world.num_points, 3)
+    ).astype(np.float32)
+    mesh = make_mesh(8, devices=eight_devices)
+    dist = DistributedBundleAdjuster(world, rig, mesh, BAConfig(max_iterations=15))
+    stats = dist.optimize(0, world.num_frames)
+    assert stats["cost_final"] < stats["cost_initial"] * 1e-2
