@@ -88,13 +88,20 @@ def edge_terms(poses, edge_a, edge_b, edge_meas, edge_weight, info_sqrt,
     return r * wscale, J_a * wscale[..., None], J_b * wscale[..., None], cost
 
 
-def _seg_sum(x, ids, num):
-    return jax.ops.segment_sum(x, ids, num_segments=num)
+def _seg_sum(x, ids, num, axis_name=None):
+    out = jax.ops.segment_sum(x, ids, num_segments=num)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def gn_step(prob: PoseGraphProblem, cfg: PoseGraphConfig):
-    """One damped Gauss-Newton iteration over the whole graph."""
+def gn_step_impl(prob: PoseGraphProblem, cfg: PoseGraphConfig, axis_name=None):
+    """One damped Gauss-Newton iteration over the whole graph.
+
+    With `axis_name` set this runs inside shard_map with the edge arrays
+    sharded across the mesh and the vertex state replicated — per-edge
+    Hessian contributions reduce over ICI exactly like the distributed BA
+    camera system (SURVEY.md §5.8)."""
     info_sqrt = jnp.asarray(
         [np.sqrt(cfg.info_translation)] * 3 + [np.sqrt(cfg.info_rotation)] * 3,
         prob.poses.dtype,
@@ -108,13 +115,15 @@ def gn_step(prob: PoseGraphProblem, cfg: PoseGraphConfig):
     # Gradient: b = -(J^T r) accumulated per vertex.
     g_a = jnp.einsum("eki,ek->ei", J_a, r)
     g_b = jnp.einsum("eki,ek->ei", J_b, r)
-    b = -(_seg_sum(g_a, prob.edge_a, N) + _seg_sum(g_b, prob.edge_b, N))
+    b = -(_seg_sum(g_a, prob.edge_a, N, axis_name)
+          + _seg_sum(g_b, prob.edge_b, N, axis_name))
     b = b * prob.vertex_mask[:, None]
 
     # Block-diagonal of H for the Jacobi preconditioner.
     H_aa = jnp.einsum("eki,ekj->eij", J_a, J_a)
     H_bb = jnp.einsum("eki,ekj->eij", J_b, J_b)
-    diag = _seg_sum(H_aa, prob.edge_a, N) + _seg_sum(H_bb, prob.edge_b, N)
+    diag = (_seg_sum(H_aa, prob.edge_a, N, axis_name)
+            + _seg_sum(H_bb, prob.edge_b, N, axis_name))
     eye6 = jnp.eye(6, dtype=diag.dtype)
     diag = diag + cfg.damping * eye6[None]
     diag = jnp.where(prob.vertex_mask[:, None, None] > 0, diag, eye6[None])
@@ -127,8 +136,8 @@ def gn_step(prob: PoseGraphProblem, cfg: PoseGraphConfig):
             + jnp.einsum("eij,ej->ei", J_b, xm[prob.edge_b])
         )  # [E,6] = J_e @ x
         out = (
-            _seg_sum(jnp.einsum("eki,ek->ei", J_a, y), prob.edge_a, N)
-            + _seg_sum(jnp.einsum("eki,ek->ei", J_b, y), prob.edge_b, N)
+            _seg_sum(jnp.einsum("eki,ek->ei", J_a, y), prob.edge_a, N, axis_name)
+            + _seg_sum(jnp.einsum("eki,ek->ei", J_b, y), prob.edge_b, N, axis_name)
         )
         out = out + cfg.damping * xm
         return out * prob.vertex_mask[:, None] + x * (1.0 - prob.vertex_mask[:, None])
@@ -164,9 +173,14 @@ def gn_step(prob: PoseGraphProblem, cfg: PoseGraphConfig):
         _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
         return x
 
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     delta = precond_cg(b) * prob.vertex_mask[:, None]
     poses_new = se3.normalize_pose(prob.poses @ se3.se3_exp(delta))
     return prob._replace(poses=poses_new), cost
+
+
+gn_step = jax.jit(gn_step_impl, static_argnames=("cfg", "axis_name"))
 
 
 class PoseGraphOptimizer:

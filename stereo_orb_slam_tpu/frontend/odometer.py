@@ -208,7 +208,11 @@ class VisualOdometer:
             self.fe,
             self.rc,
         )
+        return self._ingest(res)
 
+    def _ingest(self, res: StepResult) -> np.ndarray:
+        """Host bookkeeping for one device StepResult (shared by the
+        single-sequence path and parallel.multi_seq batched tracking)."""
         num_stereo = int(res.num_stereo)
         if num_stereo < self.fe.min_stereo_matches:
             # Reference early-return: frame not recorded (ref :117-121).
