@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+from stereo_orb_slam_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def synth_pair(rng, h=376, w=1241, shift=6):
     base = rng.uniform(0, 255, (h // 8, (w + 64) // 8 + 2)).astype(np.float32)

@@ -65,45 +65,34 @@ class StepResult(NamedTuple):
     num_inliers: jnp.ndarray    # int32
 
 
-@partial(
-    jax.jit,
-    static_argnames=("fe", "rc"),
-)
-def frontend_step(
-    img_l,
-    img_r,
-    prev: FrameSlots,
-    prev_usable,           # bool scalar: is `prev` a real frame
-    key,
-    rig: cam_mod.StereoRig,
-    max_distance,
-    fe: FrontendConfig,
-    rc: RansacConfig,
+@partial(jax.jit, static_argnames=("fe",))
+def detect_and_describe(img, fe: FrontendConfig):
+    """Corners + ORB descriptors for one image. Compiled ONCE and reused for
+    the left and right views (and across frames) — keeping this a separate
+    jit unit roughly halves frontend compile time vs one fused program,
+    which matters on TPU where each compile is tens of seconds."""
+    xy, _, v = detect.detect_corners(
+        img, num_features=fe.num_features, quality_level=fe.quality_level,
+        block_size=fe.block_size, min_distance=fe.min_distance,
+        subpix=fe.subpix,
+    )
+    d, _ = orb.compute_descriptors(
+        img, xy, v, smoothing_ksize=fe.smoothing_ksize,
+        orientation_radius=fe.orientation_radius,
+    )
+    return xy, v, d
+
+
+@partial(jax.jit, static_argnames=("fe", "rc"))
+def associate(
+    xy_l, v_l, d_l, xy_r, v_r, d_r,
+    prev: FrameSlots, prev_usable, key,
+    rig: cam_mod.StereoRig, max_distance,
+    fe: FrontendConfig, rc: RansacConfig,
 ) -> StepResult:
-    """Full per-frame front-end on device. Mirrors Track()
-    (ref visual_odometer.cpp:105-221) with batched equivalents."""
+    """Stereo match + triangulate + temporal match + RANSAC (the second jit
+    stage of the per-frame front end)."""
     n = fe.num_features
-
-    # --- detection + description on both images (ref :232-259)
-    xy_l, _, v_l = detect.detect_corners(
-        img_l, num_features=n, quality_level=fe.quality_level,
-        block_size=fe.block_size, min_distance=fe.min_distance,
-        subpix=fe.subpix,
-    )
-    xy_r, _, v_r = detect.detect_corners(
-        img_r, num_features=n, quality_level=fe.quality_level,
-        block_size=fe.block_size, min_distance=fe.min_distance,
-        subpix=fe.subpix,
-    )
-    d_l, _ = orb.compute_descriptors(
-        img_l, xy_l, v_l, smoothing_ksize=fe.smoothing_ksize,
-        orientation_radius=fe.orientation_radius,
-    )
-    d_r, _ = orb.compute_descriptors(
-        img_r, xy_r, v_r, smoothing_ksize=fe.smoothing_ksize,
-        orientation_radius=fe.orientation_radius,
-    )
-
     # --- stereo matching: left query -> right train (ref :262-289)
     r_idx, s_ok, _ = match.match_descriptors(
         d_l, d_r, v_l, v_r,
@@ -158,6 +147,33 @@ def frontend_step(
         num_stereo=num_stereo,
         num_temporal=num_temporal,
         num_inliers=res.num_inliers,
+    )
+
+
+def frontend_step(
+    img_l,
+    img_r,
+    prev: FrameSlots,
+    prev_usable,           # bool scalar: is `prev` a real frame
+    key,
+    rig: cam_mod.StereoRig,
+    max_distance,
+    fe: FrontendConfig,
+    rc: RansacConfig,
+) -> StepResult:
+    """Full per-frame front-end on device. Mirrors Track()
+    (ref visual_odometer.cpp:105-221) with batched equivalents.
+
+    Composed of two jitted stages (detect_and_describe x2 + associate);
+    calling it un-jitted executes those staged programs, while wrapping it
+    in jit/vmap (multi-sequence batching, the driver's compile check)
+    inlines them into one fused program.
+    """
+    xy_l, v_l, d_l = detect_and_describe(img_l, fe)
+    xy_r, v_r, d_r = detect_and_describe(img_r, fe)
+    return associate(
+        xy_l, v_l, d_l, xy_r, v_r, d_r,
+        prev, prev_usable, key, rig, max_distance, fe, rc,
     )
 
 
