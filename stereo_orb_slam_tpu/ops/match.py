@@ -64,9 +64,17 @@ def knn2(dist):
     return -vals[:, 0], idxs[:, 0], -vals[:, 1]
 
 
-@partial(jax.jit, static_argnames=())
+def _use_pallas() -> bool:
+    """Fused Pallas kernel on TPU; XLA matmul + top_k elsewhere."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
 def match_descriptors(
-    desc_q, desc_t, valid_q, valid_t, max_distance=30.0, ratio=0.5
+    desc_q, desc_t, valid_q, valid_t, max_distance=30.0, ratio=0.5,
+    use_pallas: bool = None,
 ):
     """One-directional kNN(2) + Lowe ratio + absolute distance gate.
 
@@ -75,8 +83,19 @@ def match_descriptors(
       ok:    [N] bool — passes both gates and both rows valid.
       d1:    [N] float32 best distance.
     """
-    dist = hamming_matrix(desc_q, desc_t, valid_q, valid_t)
-    d1, idx1, d2 = knn2(dist)
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    n, m = desc_q.shape[0], desc_t.shape[0]
+    if use_pallas and n % 128 == 0 and m % 128 == 0:
+        from stereo_orb_slam_tpu.ops.pallas.hamming import hamming_top2
+
+        d1, idx1, d2 = hamming_top2(
+            signs_from_packed(desc_q), signs_from_packed(desc_t), valid_t
+        )
+        d1 = jnp.where(valid_q, d1, jnp.float32(BITS + 1))
+    else:
+        dist = hamming_matrix(desc_q, desc_t, valid_q, valid_t)
+        d1, idx1, d2 = knn2(dist)
     safe_d2 = jnp.maximum(d2, 1e-6)
     ok = (
         (d1 < max_distance)
