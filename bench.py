@@ -67,14 +67,26 @@ def bench_frontend(n_warm=3, n_iter=20):
     res = frontend_step(img_l, img_r, prev, jnp.asarray(False), key, rig, maxd, fe, rc)
     prev = res.slots
 
-    args = (img_t, img_r, prev, jnp.asarray(True), key, rig, maxd, fe, rc)
-    for _ in range(n_warm):
-        out = frontend_step(*args)
+    # Distinct input frames each iteration (defeats any dedup/caching in the
+    # runtime) and chain prev-state like the real tracking loop does.
+    variants = []
+    for i in range(4):
+        il2, ir2, _ = synth_pair(np.random.default_rng(i + 1))
+        variants.append((jnp.asarray(il2), jnp.asarray(ir2)))
+
+    def one(i, prev):
+        a, b = variants[i % len(variants)]
+        return frontend_step(a, b, prev, jnp.asarray(True), key, rig, maxd, fe, rc)
+
+    for i in range(n_warm):
+        out = one(i, prev)
+        prev = out.slots
     jax.block_until_ready(out.transform)
 
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = frontend_step(*args)
+    for i in range(n_iter):
+        out = one(i, prev)
+        prev = out.slots
     jax.block_until_ready(out.transform)
     dt = (time.perf_counter() - t0) / n_iter
     return 1.0 / dt, dt * 1e3

@@ -180,6 +180,32 @@ def save_pose_graph_ply(path: str, poses: np.ndarray, edges):
             f.write(f"{a} {b} 255 0 0\n")
 
 
+def save_pose_graph_txt(path: str, poses: np.ndarray, edges, measurements=None):
+    """Text pose-graph dump: header `n_vertices n_edges`, vertices as
+    `tx ty tz qx qy qz qw`, edges as `src dst tx..qw`.
+
+    Mirrors the reference's (dead-code) SavePoseGraph format
+    (ref pose_graph_optimizer.cpp:251-286).
+    """
+    from scipy.spatial.transform import Rotation
+
+    def pose7(T):
+        q = Rotation.from_matrix(np.asarray(T)[:3, :3]).as_quat()  # x,y,z,w
+        t = np.asarray(T)[:3, 3]
+        return [t[0], t[1], t[2], q[0], q[1], q[2], q[3]]
+
+    with open(path, "w") as f:
+        f.write(f"{len(poses)} {len(edges)}\n")
+        for T in poses:
+            f.write(" ".join(_fmt(v) for v in pose7(T)) + "\n")
+        for i, (a, b) in enumerate(edges):
+            if measurements is not None:
+                z = pose7(measurements[i])
+            else:
+                z = pose7(np.linalg.inv(np.asarray(poses[a])) @ np.asarray(poses[b]))
+            f.write(f"{a} {b} " + " ".join(_fmt(v) for v in z) + "\n")
+
+
 def save_kitti_trajectory(path: str, poses: np.ndarray):
     """KITTI odometry format: 12 floats (3x4 row-major) per line — used by
     the ATE/RPE evaluator against ground-truth poses."""

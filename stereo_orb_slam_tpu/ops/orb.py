@@ -4,13 +4,21 @@ The reference uses cv::ORB::compute to build 256-bit descriptors on the
 detected corners (descriptors only, not detection — ref
 `src/visual_odometer.cpp:256-259`). Here:
 
-- the image is pre-smoothed with a separable binomial filter,
-- per-corner orientation comes from the intensity-centroid moments of a
-  radius-R disc (standard ORB; computed with two fixed convolution kernels
-  evaluated via gather at corner locations),
-- 256 binary tests are sampled from a fixed, seeded Gaussian pattern
-  (BRIEF-style, sigma = patch/5, radius-clipped) rotated by the corner
-  orientation and read with bilinear interpolation,
+- the image is pre-smoothed with a separable binomial filter and padded,
+- a fixed-size patch is cut around every corner with a vmapped
+  `lax.dynamic_slice` (contiguous rows — compiles and runs orders of
+  magnitude faster on TPU than image-wide gathers, which XLA lowers
+  pathologically),
+- per-corner orientation comes from intensity-centroid moments of a
+  radius-R disc computed as one [N, P^2] x [P^2, 2] matmul,
+- the corner orientation is quantized to K=30 bins (2*pi/30 = 12 degree
+  increments — the discretization the ORB paper itself uses for its steered
+  pattern lookup table), and the 256 binary tests are read through
+  PRECOMPUTED per-bin 0/1 selection matrices: sampling every corner's
+  rotated pattern is K masked [N, P^2] @ [P^2, 512] matmuls on the MXU.
+  This replaces per-corner gathers entirely — XLA gathers on TPU are both
+  pathologically slow to compile (minutes) and slow to run (ms); the
+  matmul formulation is sub-millisecond,
 - bits are packed into uint32[8] words (bit j of word w = test 32*w+j).
 
 We deliberately do NOT copy OpenCV's learned `bit_pattern_31_` table: both
@@ -31,7 +39,9 @@ import numpy as np
 
 N_TESTS = 256
 N_WORDS = N_TESTS // 32
-PATTERN_RADIUS = 13  # max test-point radius; rotation keeps it under 13*sqrt(2)<19
+PATTERN_RADIUS = 13   # max test-point radius before rotation
+PATCH_R = 20          # patch half-size: ceil(13*sqrt(2)) + 1 bilinear margin
+PATCH = 2 * PATCH_R + 2  # 42: extra row/col for bilinear x1
 
 
 def _binomial_kernel(ksize: int) -> np.ndarray:
@@ -45,8 +55,7 @@ def make_test_pattern(seed: int = 1234) -> np.ndarray:
     """[256, 2, 2] float32: (pair, point{a,b}, (dx, dy)) BRIEF test offsets.
 
     Gaussian-sampled (sigma = 31/5 as in the BRIEF paper) and clipped to a
-    disc of radius PATTERN_RADIUS so rotated samples stay inside the padded
-    patch window.
+    disc of radius PATTERN_RADIUS so rotated samples stay inside the patch.
     """
     rng = np.random.default_rng(seed)
     sigma = 31.0 / 5.0
@@ -57,6 +66,36 @@ def make_test_pattern(seed: int = 1234) -> np.ndarray:
 
 
 _PATTERN = jnp.asarray(make_test_pattern())  # [256, 2, 2]
+
+# Orientation quantization: 12-degree bins (ORB paper's steering table).
+K_BINS = 30
+
+
+def _make_steer_tables() -> np.ndarray:
+    """[K_BINS, PATCH*PATCH, 512] bf16 0/1 selection matrices.
+
+    Column layout: columns [0, 256) sample point "a" of each test, columns
+    [256, 512) sample point "b". Sampling is nearest-neighbor at the rotated
+    offsets (OpenCV ORB also rounds, via cvRound in GET_VALUE).
+    """
+    pat = make_test_pattern()  # [256, 2, 2]
+    G = np.zeros((K_BINS, PATCH * PATCH, 2 * N_TESTS), np.float32)
+    for k in range(K_BINS):
+        th = 2.0 * np.pi * k / K_BINS
+        c, s = np.cos(th), np.sin(th)
+        for point in range(2):
+            dx = pat[:, point, 0]
+            dy = pat[:, point, 1]
+            rx = c * dx - s * dy
+            ry = s * dx + c * dy
+            xi = np.clip(np.round(PATCH_R + rx), 0, PATCH - 1).astype(np.int64)
+            yi = np.clip(np.round(PATCH_R + ry), 0, PATCH - 1).astype(np.int64)
+            cols = np.arange(N_TESTS) + point * N_TESTS
+            G[k, yi * PATCH + xi, cols] = 1.0
+    return G
+
+
+_STEER = jnp.asarray(_make_steer_tables(), jnp.bfloat16)
 
 
 def smooth_image(img, ksize: int = 7):
@@ -71,63 +110,33 @@ def smooth_image(img, ksize: int = 7):
     return x[0, 0]
 
 
-def _disc_moment_kernels(radius: int):
-    """Fixed kernels for intensity-centroid moments m10, m01 over a disc."""
-    r = radius
-    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
-    disc = (xs * xs + ys * ys) <= r * r
-    kx = (xs * disc).astype(np.float32)
-    ky = (ys * disc).astype(np.float32)
-    return jnp.asarray(kx), jnp.asarray(ky)
-
-
-def corner_orientations(img, xy, radius: int = 15):
-    """Intensity-centroid orientation at integer corner locations.
-
-    theta = atan2(m01, m10) with moments over a radius-R disc
-    (standard ORB rotation-invariance mechanism).
-    """
-    kx, ky = _disc_moment_kernels(radius)
-    # conv flips kernels; kx/ky are antisymmetric -> compensate with negation.
-    m10_map = -_conv2d(img, kx)
-    m01_map = -_conv2d(img, ky)
-    xs = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, img.shape[1] - 1)
-    ys = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, img.shape[0] - 1)
-    m10 = m10_map[ys, xs]
-    m01 = m01_map[ys, xs]
-    return jnp.arctan2(m01, m10)
-
-
-def _conv2d(img, kernel):
-    x = img[None, None, :, :]
-    k = kernel[None, None, :, :]
-    out = jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )
-    return out[0, 0]
-
-
-def _bilinear_sample(img, x, y):
-    """Bilinear interpolation at float coords; clamped to image bounds."""
-    H, W = img.shape
-    x = jnp.clip(x, 0.0, W - 1.001)
-    y = jnp.clip(y, 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
-    fx = x - x0.astype(img.dtype)
-    fy = y - y0.astype(img.dtype)
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
+def _disc_masks(radius: int, patch: int):
+    """Moment kernels over the patch grid, centered at (PATCH_R, PATCH_R)."""
+    ys, xs = np.mgrid[0:patch, 0:patch]
+    ys = ys - PATCH_R
+    xs = xs - PATCH_R
+    disc = (xs * xs + ys * ys) <= radius * radius
     return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
+        jnp.asarray((xs * disc).astype(np.float32)),
+        jnp.asarray((ys * disc).astype(np.float32)),
     )
+
+
+def extract_patches(smoothed_padded, xy):
+    """[N, PATCH, PATCH] patches at integer corner positions.
+
+    `smoothed_padded` must be the smoothed image padded by PATCH_R on every
+    side; xy are coordinates in the ORIGINAL image frame.
+    """
+    xi = jnp.round(xy[:, 0]).astype(jnp.int32)  # padded frame: + PATCH_R - PATCH_R
+    yi = jnp.round(xy[:, 1]).astype(jnp.int32)
+
+    def cut(y, x):
+        return jax.lax.dynamic_slice(
+            smoothed_padded, (y, x), (PATCH, PATCH)
+        )
+
+    return jax.vmap(cut)(yi, xi)
 
 
 def pack_bits(bits):
@@ -146,7 +155,6 @@ def unpack_bits(words):
     return bits.reshape(n, N_TESTS).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("smoothing_ksize", "orientation_radius"))
 def compute_descriptors(
     img, xy, valid, smoothing_ksize: int = 7, orientation_radius: int = 15
 ):
@@ -161,20 +169,48 @@ def compute_descriptors(
       desc:  [N, 8] uint32 bitpacked 256-bit descriptors (0 where invalid).
       angle: [N] float32 orientation (radians).
     """
+    # The steering table is passed as a runtime argument — baking a ~50 MB
+    # constant into the HLO makes XLA compile for minutes.
+    return _compute_descriptors_impl(
+        img, xy, valid, _STEER, smoothing_ksize, orientation_radius
+    )
+
+
+@partial(jax.jit, static_argnames=("smoothing_ksize", "orientation_radius"))
+def _compute_descriptors_impl(
+    img, xy, valid, steer, smoothing_ksize: int = 7, orientation_radius: int = 15
+):
     smoothed = smooth_image(img, smoothing_ksize)
-    theta = corner_orientations(smoothed, xy, orientation_radius)
-    c, s = jnp.cos(theta), jnp.sin(theta)
+    padded = jnp.pad(smoothed, PATCH_R, mode="edge")
+    patches = extract_patches(padded, xy)          # [N, PATCH, PATCH]
+    n = xy.shape[0]
+    flat = patches.reshape(n, PATCH * PATCH)
 
-    # Rotate the whole test pattern per corner: [N, 256, 2(pts), 2(xy)]
-    px = _PATTERN[None, :, :, 0]  # [1, 256, 2]
-    py = _PATTERN[None, :, :, 1]
-    rx = c[:, None, None] * px - s[:, None, None] * py
-    ry = s[:, None, None] * px + c[:, None, None] * py
-    sample_x = xy[:, None, None, 0] + rx  # [N, 256, 2]
-    sample_y = xy[:, None, None, 1] + ry
+    # Orientation: intensity-centroid moments over a disc (standard ORB),
+    # as a single [N, P^2] @ [P^2, 2] matmul.
+    kx, ky = _disc_masks(orientation_radius, PATCH)
+    mom_k = jnp.stack([kx.reshape(-1), ky.reshape(-1)], axis=1)  # [P^2, 2]
+    moments = jnp.dot(flat, mom_k, preferred_element_type=jnp.float32)
+    theta = jnp.arctan2(moments[:, 1], moments[:, 0])
 
-    va = _bilinear_sample(smoothed, sample_x[..., 0], sample_y[..., 0])
-    vb = _bilinear_sample(smoothed, sample_x[..., 1], sample_y[..., 1])
-    bits = va < vb  # [N, 256]
+    # Quantize to K_BINS steering bins; sample all 512 test points through
+    # the bin's 0/1 selection matrix: K masked MXU matmuls, no gathers.
+    bin_f = jnp.round(theta * (K_BINS / (2.0 * jnp.pi)))
+    bin_id = jnp.mod(bin_f.astype(jnp.int32), K_BINS)
+    flat16 = flat.astype(jnp.bfloat16)
+
+    def body(k, acc):
+        mask = (bin_id == k).astype(jnp.bfloat16)
+        contrib = jnp.dot(
+            flat16 * mask[:, None], steer[k],
+            preferred_element_type=jnp.float32,
+        )
+        return acc + contrib
+
+    vals = jax.lax.fori_loop(
+        0, K_BINS, body, jnp.zeros((n, 2 * N_TESTS), jnp.float32)
+    )
+
+    bits = vals[:, :N_TESTS] < vals[:, N_TESTS:]   # [N, 256]
     desc = pack_bits(bits)
     return jnp.where(valid[:, None], desc, jnp.uint32(0)), theta
