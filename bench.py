@@ -64,7 +64,8 @@ def bench_frontend(n_warm=3, n_iter=20):
 
     prev = empty_slots(fe.num_features)
     # Build a real prev state (so temporal matching + RANSAC run hot).
-    res = frontend_step(img_l, img_r, prev, jnp.asarray(False), key, rig, maxd, fe, rc)
+    res = frontend_step(img_l, img_r, prev, jnp.asarray(False), key, rig,
+                        maxd, fe, rc, rectified=True)
     prev = res.slots
 
     # Distinct input frames each iteration (defeats any dedup/caching in the
@@ -76,7 +77,8 @@ def bench_frontend(n_warm=3, n_iter=20):
 
     def one(i, prev):
         a, b = variants[i % len(variants)]
-        return frontend_step(a, b, prev, jnp.asarray(True), key, rig, maxd, fe, rc)
+        return frontend_step(a, b, prev, jnp.asarray(True), key, rig, maxd,
+                             fe, rc, rectified=True)
 
     for i in range(n_warm):
         out = one(i, prev)

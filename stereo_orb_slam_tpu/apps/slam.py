@@ -52,6 +52,7 @@ def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
     Z satisfies X_dst = Z @ X_src (equivalently T_dst^-1 T_src = Z), matching
     the reference's loop-edge convention (SURVEY.md C12)."""
     key_holder = [jax.random.key(seed)]
+    rect = bool(np.asarray(rig.rectified))
 
     def matcher(src: int, dst: int):
         fe, rc = cfg.frontend, cfg.ransac
@@ -75,8 +76,14 @@ def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
         # Triangulate both frames' stereo observations through the rig.
         from stereo_orb_slam_tpu.geometry.camera import triangulate
 
-        pts_dst, tv_d = triangulate(rig, jnp.asarray(uv_dst[:, :2]), jnp.asarray(uv_dst[:, 2:]))
-        pts_src, tv_s = triangulate(rig, jnp.asarray(uv_src[:, :2]), jnp.asarray(uv_src[:, 2:]))
+        pts_dst, tv_d = triangulate(
+            rig, jnp.asarray(uv_dst[:, :2]), jnp.asarray(uv_dst[:, 2:]),
+            rectified=rect,
+        )
+        pts_src, tv_s = triangulate(
+            rig, jnp.asarray(uv_src[:, :2]), jnp.asarray(uv_src[:, 2:]),
+            rectified=rect,
+        )
         pair_valid = jnp.asarray(ok_np) & tv_d & tv_s
 
         key_holder[0], sub = jax.random.split(key_holder[0])

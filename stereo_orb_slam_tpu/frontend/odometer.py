@@ -83,12 +83,13 @@ def detect_and_describe(img, fe: FrontendConfig):
     return xy, v, d
 
 
-@partial(jax.jit, static_argnames=("fe", "rc"))
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
 def associate(
     xy_l, v_l, d_l, xy_r, v_r, d_r,
     prev: FrameSlots, prev_usable, key,
     rig: cam_mod.StereoRig, max_distance,
     fe: FrontendConfig, rc: RansacConfig,
+    rectified=None,
 ) -> StepResult:
     """Stereo match + triangulate + temporal match + RANSAC (the second jit
     stage of the per-frame front end)."""
@@ -101,7 +102,7 @@ def associate(
     kp_r = xy_r[r_idx]
 
     # --- triangulation + validity gates (ref :299-314, :128-148)
-    pts, tri_ok = cam_mod.triangulate(rig, xy_l, kp_r)
+    pts, tri_ok = cam_mod.triangulate(rig, xy_l, kp_r, rectified=rectified)
     depth_ok = jnp.abs(pts[:, 2]) < max_distance
     slot_valid = v_l & s_ok & tri_ok & depth_ok
     pts = jnp.where(slot_valid[:, None], pts, 0.0)
@@ -160,6 +161,7 @@ def frontend_step(
     max_distance,
     fe: FrontendConfig,
     rc: RansacConfig,
+    rectified=None,        # static bool: compile only the live triangulation path
 ) -> StepResult:
     """Full per-frame front-end on device. Mirrors Track()
     (ref visual_odometer.cpp:105-221) with batched equivalents.
@@ -173,7 +175,7 @@ def frontend_step(
     xy_r, v_r, d_r = detect_and_describe(img_r, fe)
     return associate(
         xy_l, v_l, d_l, xy_r, v_r, d_r,
-        prev, prev_usable, key, rig, max_distance, fe, rc,
+        prev, prev_usable, key, rig, max_distance, fe, rc, rectified,
     )
 
 
@@ -204,6 +206,7 @@ class VisualOdometer:
         self.rc = rc or RansacConfig()
         self.key = jax.random.key(seed)
         self.max_distance = float(np.asarray(rig.max_sensible_distance()))
+        self.rectified = bool(np.asarray(rig.rectified))
         self.prev = empty_slots(self.fe.num_features)
         self.prev_global_idx = np.full(self.fe.num_features, -1, np.int64)
         self.initialized = False
@@ -223,6 +226,7 @@ class VisualOdometer:
             jnp.float32(self.max_distance),
             self.fe,
             self.rc,
+            self.rectified,
         )
         return self._ingest(res)
 

@@ -205,25 +205,35 @@ def triangulate_rectified(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0):
     return pts, valid
 
 
-def triangulate(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0):
+def triangulate_general(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0):
+    """General stereo path: undistort (ref `src/camera_model.cpp:128-132`)
+    then DLT-triangulate; validity is a positive-depth test in the left
+    camera frame."""
+    uvl_u = undistort_points(rig.left, uv_l)
+    uvr_u = undistort_points(rig.right, uv_r)
+    pts = triangulate_dlt(rig.left.projection, rig.right.projection, uvl_u, uvr_u)
+    local = se3.transform_points(se3.inverse(rig.left.pose), pts)
+    valid = (local[..., 2] > 0.0) & (local[..., 2] < max_depth)
+    return pts, valid
+
+
+def triangulate(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0,
+                rectified=None):
     """Dispatch rectified / general triangulation; both return (pts, valid).
 
-    The general path undistorts first (ref `src/camera_model.cpp:128-132`)
-    then DLT-triangulates; validity there is a positive-depth test in the
-    left camera frame.
+    `rectified` may be passed as a static Python bool (preferred inside jit:
+    only the live branch is compiled — the dead branch's batched SVD costs
+    real TPU compile time). When None it falls back to a `lax.cond` on the
+    rig's traced flag.
     """
-    def _general(args):
-        uvl, uvr = args
-        uvl_u = undistort_points(rig.left, uvl)
-        uvr_u = undistort_points(rig.right, uvr)
-        pts = triangulate_dlt(rig.left.projection, rig.right.projection, uvl_u, uvr_u)
-        # Depth in the left camera frame.
-        local = se3.transform_points(se3.inverse(rig.left.pose), pts)
-        valid = (local[..., 2] > 0.0) & (local[..., 2] < max_depth)
-        return pts, valid
+    if rectified is not None:
+        if rectified:
+            return triangulate_rectified(rig, uv_l, uv_r, max_depth)
+        return triangulate_general(rig, uv_l, uv_r, max_depth)
 
-    def _rect(args):
-        uvl, uvr = args
-        return triangulate_rectified(rig, uvl, uvr, max_depth)
-
-    return jax.lax.cond(rig.rectified, _rect, _general, (uv_l, uv_r))
+    return jax.lax.cond(
+        rig.rectified,
+        lambda args: triangulate_rectified(rig, args[0], args[1], max_depth),
+        lambda args: triangulate_general(rig, args[0], args[1], max_depth),
+        (uv_l, uv_r),
+    )

@@ -31,7 +31,8 @@ from stereo_orb_slam_tpu.geometry import camera as cam_mod
 from stereo_orb_slam_tpu.worldmap import WorldMap
 
 
-def batched_frontend_step(fe: FrontendConfig, rc: RansacConfig):
+def batched_frontend_step(fe: FrontendConfig, rc: RansacConfig,
+                          rectified=None):
     """vmap of the full per-frame front end over a sequence axis.
 
     Returns a jitted fn(imgs_l [S,H,W], imgs_r, prev: FrameSlots batched,
@@ -40,7 +41,7 @@ def batched_frontend_step(fe: FrontendConfig, rc: RansacConfig):
     """
     def one(img_l, img_r, prev, prev_usable, key, rig, max_d):
         return frontend_step(
-            img_l, img_r, prev, prev_usable, key, rig, max_d, fe, rc
+            img_l, img_r, prev, prev_usable, key, rig, max_d, fe, rc, rectified
         )
 
     return jax.jit(jax.vmap(one))
@@ -70,7 +71,9 @@ class MultiSequenceSLAM:
             [float(np.asarray(r.max_sensible_distance())) for r in rigs],
             jnp.float32,
         )
-        self.step = batched_frontend_step(self.fe, self.rc)
+        rect_flags = {bool(np.asarray(r.rectified)) for r in rigs}
+        assert len(rect_flags) == 1, "all rigs must share the triangulation path"
+        self.step = batched_frontend_step(self.fe, self.rc, rect_flags.pop())
         self.mesh = mesh
 
         # Per-sequence host state: a VisualOdometer each (device compute is
