@@ -52,7 +52,8 @@ def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
     Z satisfies X_dst = Z @ X_src (equivalently T_dst^-1 T_src = Z), matching
     the reference's loop-edge convention (SURVEY.md C12)."""
     key_holder = [jax.random.key(seed)]
-    rect = bool(np.asarray(rig.rectified))
+    rect = (rig.rectified if isinstance(rig.rectified, bool)
+            else bool(np.asarray(rig.rectified)))
 
     def matcher(src: int, dst: int):
         fe, rc = cfg.frontend, cfg.ransac

@@ -245,8 +245,9 @@ class BundleAdjuster:
     def __init__(self, world, rig, cfg: Optional[BAConfig] = None):
         self.world = world
         self.cfg = cfg or BAConfig()
-        self.P_l = jnp.asarray(np.asarray(rig.left.projection))
-        self.P_r = jnp.asarray(np.asarray(rig.right.projection))
+        # Already device arrays — avoid a host round trip here.
+        self.P_l = rig.left.projection
+        self.P_r = rig.right.projection
         self.last_stats = {}
 
     def optimize(self, start_frame: int, end_frame: int,

@@ -44,13 +44,16 @@ class RansacResult(NamedTuple):
     success: jnp.ndarray     # bool
 
 
-def kabsch(src, dst, weights=None):
+def kabsch(src, dst, weights=None, power_iters: int = 20):
     """Weighted rigid alignment: find T with dst ≈ T @ src.
 
-    src, dst: [M, 3]. Returns [4,4]. Horn's closed-form absolute orientation
-    via SVD of the weighted cross-covariance (the same construction the
-    absent submodule's `absolute_orientation.h` provides, per its include at
-    ref `src/visual_odometer.h:7`).
+    src, dst: [M, 3]. Returns [4,4]. Horn's quaternion method: the optimal
+    rotation is the largest eigenvector of the symmetric 4x4 N-matrix built
+    from the cross-covariance. We extract it by shifted power iteration —
+    pure batched matmul/normalize ops, in contrast to an SVD, whose
+    iterative LAPACK-style lowering is the slowest thing a TPU can run.
+    (N is symmetric with eigenvalues >= -2*trace bound; shifting by a
+    Gershgorin-style bound makes the dominant eigenvalue the target.)
     """
     if weights is None:
         weights = jnp.ones(src.shape[0], src.dtype)
@@ -59,11 +62,35 @@ def kabsch(src, dst, weights=None):
     mu_d = jnp.sum(dst * w[:, None], axis=0)
     sc = src - mu_s
     dc = dst - mu_d
-    cov = (dc * w[:, None]).T @ sc  # [3,3]
-    U, _, Vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    S = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.stack([jnp.ones(()), jnp.ones(()), d]))
-    R = U @ S @ Vt
+    M = (sc * w[:, None]).T @ dc  # [3,3] cross-covariance (src x dst)
+
+    # Horn's N matrix.
+    Sxx, Sxy, Sxz = M[0, 0], M[0, 1], M[0, 2]
+    Syx, Syy, Syz = M[1, 0], M[1, 1], M[1, 2]
+    Szx, Szy, Szz = M[2, 0], M[2, 1], M[2, 2]
+    N = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx]),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz]),
+        jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy]),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz]),
+    ])
+
+    # Top eigenvector by repeated squaring: A^(2^k) columns align with the
+    # dominant eigenvector regardless of eigengap; k=12 gives an effective
+    # power of 4096. Each squaring is one 4x4 matmul + normalization.
+    fro = jnp.sqrt(jnp.sum(N * N)) + 1e-12
+    A = N / fro + 1.5 * jnp.eye(4, dtype=N.dtype)  # spectrum now in (0.5, 2.5)
+
+    def body(_, A):
+        A = A @ A
+        return A / (jnp.sqrt(jnp.sum(A * A)) + 1e-20)
+
+    A = jax.lax.fori_loop(0, 12, body, A)
+    # Column with the largest norm is parallel to the top eigenvector.
+    col_norms = jnp.sum(A * A, axis=0)
+    q = A[:, jnp.argmax(col_norms)]
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
+    R = se3.quat_to_rotmat(q)
     t = mu_d - R @ mu_s
     return se3.rt_to_matrix(R, t)
 

@@ -74,27 +74,39 @@ class Pinhole(NamedTuple):
 
 
 class StereoRig(NamedTuple):
-    """A stereo pair; `rectified` selects the closed-form triangulation path."""
+    """A stereo pair; `rectified` selects the closed-form triangulation path.
+
+    `rectified` is a plain Python bool (host metadata — readable without a
+    device round trip; becomes a traced scalar if the rig pytree enters a
+    jit). `baseline` is a device scalar.
+    """
 
     left: Pinhole
     right: Pinhole
-    rectified: jnp.ndarray  # bool scalar (static in practice)
+    rectified: bool
     baseline: jnp.ndarray   # scalar; x-baseline of right cam in left frame
 
     @staticmethod
-    def create(left: Pinhole, right: Pinhole, rectified: bool) -> "StereoRig":
-        pose_lr = np.linalg.inv(np.asarray(left.pose)) @ np.asarray(right.pose)
+    def create(left: Pinhole, right: Pinhole, rectified: bool,
+               baseline: float = None) -> "StereoRig":
         # Baseline from the x-offset of the right camera in the left frame.
         # NOTE reference quirk: StereoRectified reads the baseline from the
         # *y* component trans(1,3) (ref src/camera_model.cpp:175) while
         # MaxSensibleDistance uses x (ref src/camera_model.cpp:119). For a
         # conventional horizontal rig x is correct; we use x everywhere and
         # document the deviation.
-        baseline = abs(float(pose_lr[0, 3]))
+        if baseline is None:
+            # Stay on device — a host readback (np.asarray on a device
+            # array) is surprisingly expensive through remote-attached TPU
+            # transports; callers that know the baseline pass the float.
+            pose_lr = se3.inverse(left.pose) @ right.pose
+            b = jnp.abs(pose_lr[0, 3])
+        else:
+            b = jnp.float32(abs(float(baseline)))
         return StereoRig(
             left=left, right=right,
-            rectified=jnp.asarray(bool(rectified)),
-            baseline=jnp.float32(baseline),
+            rectified=bool(rectified),
+            baseline=b,
         )
 
     def max_sensible_distance(self):

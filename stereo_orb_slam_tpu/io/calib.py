@@ -68,6 +68,7 @@ def load_reference_format(path: str) -> camera.StereoRig:
 
     left = camera.Pinhole.create(fx_l, fy_l, cx_l, cy_l, dist=d_l, pose=T_l)
     right = camera.Pinhole.create(fx_r, fy_r, cx_r, cy_r, dist=d_r, pose=T_r)
+    baseline = float(abs((np.linalg.inv(T_l) @ T_r)[0, 3]))
 
     # Intended 4-way rectified check (fixing the reference's chained
     # comparison quirk, ref camera_utils.cpp:56).
@@ -78,7 +79,9 @@ def load_reference_format(path: str) -> camera.StereoRig:
         and not np.any(d_l)
         and not np.any(d_r)
     )
-    return camera.StereoRig.create(left, right, rectified=bool(rectified))
+    return camera.StereoRig.create(
+        left, right, rectified=bool(rectified), baseline=baseline
+    )
 
 
 def load_kitti_calib(path: str) -> camera.StereoRig:
@@ -101,4 +104,6 @@ def load_kitti_calib(path: str) -> camera.StereoRig:
     pose_r = np.eye(4, dtype=np.float32)
     pose_r[0, 3] = baseline
     right = camera.Pinhole.create(P1[0, 0], P1[1, 1], P1[0, 2], P1[1, 2], pose=pose_r)
-    return camera.StereoRig.create(left, right, rectified=True)
+    return camera.StereoRig.create(
+        left, right, rectified=True, baseline=float(baseline)
+    )

@@ -99,15 +99,24 @@ _STEER = jnp.asarray(_make_steer_tables(), jnp.bfloat16)
 
 
 def smooth_image(img, ksize: int = 7):
-    """Separable binomial (≈Gaussian) smoothing, 'same' padding."""
-    k = jnp.asarray(_binomial_kernel(ksize))
-    x = img[None, None, :, :]
-    kh = k[None, None, :, None]
-    kw = k[None, None, None, :]
-    dn = ("NCHW", "OIHW", "NCHW")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME", dimension_numbers=dn)
-    return x[0, 0]
+    """Separable binomial (≈Gaussian) smoothing, edge-replicated.
+
+    Shift-and-add formulation (see ops/detect.py): single-channel XLA convs
+    lower poorly on TPU; weighted sums of shifted slices stay on the VPU.
+    """
+    from stereo_orb_slam_tpu.ops.detect import _shift_x, _shift_y
+
+    k = _binomial_kernel(ksize)
+    r = ksize // 2
+    out_y = float(k[r]) * img
+    for d in range(1, r + 1):
+        out_y = out_y + float(k[r + d]) * (_shift_y(img, d))
+        out_y = out_y + float(k[r - d]) * (_shift_y(img, -d))
+    out = float(k[r]) * out_y
+    for d in range(1, r + 1):
+        out = out + float(k[r + d]) * (_shift_x(out_y, d))
+        out = out + float(k[r - d]) * (_shift_x(out_y, -d))
+    return out
 
 
 def _disc_masks(radius: int, patch: int):
@@ -156,7 +165,8 @@ def unpack_bits(words):
 
 
 def compute_descriptors(
-    img, xy, valid, smoothing_ksize: int = 7, orientation_radius: int = 15
+    img, xy, valid, smoothing_ksize: int = 7, orientation_radius: int = 15,
+    steer=None,
 ):
     """ORB descriptors at the given corners.
 
@@ -164,15 +174,20 @@ def compute_descriptors(
       img:   [H, W] float32 grayscale.
       xy:    [N, 2] float32 corner coords (x, y).
       valid: [N] bool.
+      steer: the [K_BINS, P^2, 512] steering table. MUST be passed
+        explicitly when calling from inside another jit/vmap trace —
+        otherwise the ~50 MB table is captured as an HLO constant, which
+        costs minutes of compile time AND re-streams the constant on every
+        execution (tens of ms). Top-level (eager) callers may omit it.
 
     Returns:
       desc:  [N, 8] uint32 bitpacked 256-bit descriptors (0 where invalid).
       angle: [N] float32 orientation (radians).
     """
-    # The steering table is passed as a runtime argument — baking a ~50 MB
-    # constant into the HLO makes XLA compile for minutes.
+    if steer is None:
+        steer = _STEER
     return _compute_descriptors_impl(
-        img, xy, valid, _STEER, smoothing_ksize, orientation_radius
+        img, xy, valid, steer, smoothing_ksize, orientation_radius
     )
 
 

@@ -39,12 +39,15 @@ def batched_frontend_step(fe: FrontendConfig, rc: RansacConfig,
     prev_usable [S], keys [S], rig (batched pytree), max_dist [S]) -> StepResult
     with a leading S axis on every output.
     """
-    def one(img_l, img_r, prev, prev_usable, key, rig, max_d):
+    def one(img_l, img_r, prev, prev_usable, key, rig, max_d, steer):
         return frontend_step(
-            img_l, img_r, prev, prev_usable, key, rig, max_d, fe, rc, rectified
+            img_l, img_r, prev, prev_usable, key, rig, max_d, fe, rc,
+            rectified, steer,
         )
 
-    return jax.jit(jax.vmap(one))
+    # steer is shared across the sequence axis (in_axes=None) and stays a
+    # runtime parameter of the fused program.
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
 
 
 def stack_rigs(rigs: Sequence[cam_mod.StereoRig]) -> cam_mod.StereoRig:
@@ -67,11 +70,11 @@ class MultiSequenceSLAM:
         self.rc = rc or RansacConfig()
         self.S = len(rigs)
         self.rig_batch = stack_rigs(rigs)
-        self.max_d = jnp.asarray(
-            [float(np.asarray(r.max_sensible_distance())) for r in rigs],
-            jnp.float32,
+        self.max_d = jnp.stack(
+            [jnp.asarray(r.max_sensible_distance(), jnp.float32) for r in rigs]
         )
-        rect_flags = {bool(np.asarray(r.rectified)) for r in rigs}
+        rect_flags = {bool(r.rectified) if isinstance(r.rectified, bool)
+                      else bool(np.asarray(r.rectified)) for r in rigs}
         assert len(rect_flags) == 1, "all rigs must share the triangulation path"
         self.step = batched_frontend_step(self.fe, self.rc, rect_flags.pop())
         self.mesh = mesh
@@ -104,9 +107,11 @@ class MultiSequenceSLAM:
             il = jax.device_put(il, seq_sharding)
             ir = jax.device_put(ir, seq_sharding)
 
+        from stereo_orb_slam_tpu.ops import orb as orb_mod
+
         res = self.step(
             il, ir, self.prev, jnp.asarray(self.initialized), keys,
-            self.rig_batch, self.max_d,
+            self.rig_batch, self.max_d, orb_mod._STEER,
         )
 
         transforms = []
