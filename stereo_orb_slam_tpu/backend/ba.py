@@ -98,28 +98,74 @@ def _damp_blocks(H, lam, eps=1e-8):
     return H + jnp.vectorize(jnp.diag, signature="(k)->(k,k)")(lam * d + eps)
 
 
-def _batched_spd_solve(A, b):
-    """Solve A x = b for [N,k,k] SPD blocks and [N,k] rhs via Cholesky."""
-    L = jnp.linalg.cholesky(A)
-    y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False
+def _inv3(A):
+    """Closed-form inverse of [N,3,3] blocks (adjugate / determinant).
+
+    Pure arithmetic — batched Cholesky/LU lower to sequential LAPACK-style
+    loops on TPU and dominated the whole LM step before this.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    rows = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        -2,
     )
-    return x[..., 0]
+    return rows * inv_det[..., None, None]
 
 
-def schur_matvec(x, H_cc_l, Hpp_inv_solve, W, obs_cam, obs_point, cam_mask,
+def _inv6_gj(A, eps=1e-12):
+    """Batched 6x6 inverse by fixed-step Gauss-Jordan (no pivoting; the
+    blocks are damped SPD, so diagonal pivots are safe). Pure arithmetic."""
+    n = A.shape[-1]
+    aug = jnp.concatenate(
+        [A, jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)], axis=-1
+    )
+    for k in range(n):
+        pivot = aug[..., k, k][..., None]
+        pivot = jnp.where(jnp.abs(pivot) < eps, eps, pivot)
+        row_k = aug[..., k, :] / pivot
+        factors = aug[..., :, k][..., None]
+        aug = aug - factors * row_k[..., None, :]
+        aug = aug.at[..., k, :].set(row_k)
+    return aug[..., :, n:]
+
+
+def _batched_spd_solve(A, b):
+    """Solve A x = b for [N,3,3] SPD blocks and [N,3] rhs (closed form)."""
+    return jnp.einsum("nij,nj->ni", _inv3(A), b)
+
+
+def schur_matvec(x, H_cc_l, Hpp_inv, W, obs_cam, obs_point, cam_mask,
                  axis_name=None):
     """S @ x with S = H_cc_l - W H_pp_l^-1 W^T, matrix-free.
 
     x: [C,6]. Fixed cameras are pinned via cam_mask (identity rows).
-    Under shard_map, W/obs_* are per-device shards; the two segment-sums
-    psum over the mesh while the point marginalization stays local.
+    `Hpp_inv` is the PRECOMPUTED [P,3,3] inverse of the damped point blocks
+    (one closed-form inversion per LM step instead of a solve per CG
+    iteration). Under shard_map, W/obs_* are per-device shards; the two
+    segment-sums psum over the mesh while the point marginalization stays
+    local.
     """
     xm = x * cam_mask[:, None]
     u = jnp.einsum("oij,oi->oj", W, xm[obs_cam])          # [O,3] = W^T x
-    z = _seg_sum(u, obs_point, Hpp_inv_solve.shape[0], axis_name)  # [P,3]
-    w = _batched_spd_solve(Hpp_inv_solve, z)              # [P,3]
+    z = _seg_sum(u, obs_point, Hpp_inv.shape[0], axis_name)  # [P,3]
+    w = jnp.einsum("nij,nj->ni", Hpp_inv, z)              # [P,3]
     v = jnp.einsum("oij,oj->oi", W, w[obs_point])         # [O,6] = W w
     out = jnp.einsum("cij,cj->ci", H_cc_l, xm) - _seg_sum(
         v, obs_cam, x.shape[0], axis_name
@@ -177,8 +223,10 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
     eye3 = jnp.eye(3, dtype=H_pp_l.dtype)
     H_pp_l = jnp.where(prob.point_mask[:, None, None] > 0, H_pp_l, eye3[None])
 
+    Hpp_inv = _inv3(H_pp_l)
+
     # rhs = b_c - W H_pp^-1 b_p
-    hp_bp = _batched_spd_solve(H_pp_l, b_p)
+    hp_bp = jnp.einsum("nij,nj->ni", Hpp_inv, b_p)
     rhs = b_c - _seg_sum(
         jnp.einsum("oij,oj->oi", W, hp_bp[prob.obs_point]), prob.obs_cam,
         b_c.shape[0], axis_name,
@@ -189,11 +237,11 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
     # get identity).
     eye6 = jnp.eye(6, dtype=H_cc_l.dtype)
     H_cc_safe = jnp.where(prob.cam_mask[:, None, None] > 0, H_cc_l, eye6[None])
-    M_inv = jnp.linalg.inv(H_cc_safe + 1e-8 * eye6[None])
+    M_inv = _inv6_gj(H_cc_safe + 1e-8 * eye6[None])
 
     mv = partial(
         schur_matvec,
-        H_cc_l=H_cc_safe, Hpp_inv_solve=H_pp_l, W=W,
+        H_cc_l=H_cc_safe, Hpp_inv=Hpp_inv, W=W,
         obs_cam=prob.obs_cam, obs_point=prob.obs_point, cam_mask=prob.cam_mask,
         axis_name=axis_name,
     )
@@ -202,8 +250,9 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
 
     # Back-substitute points: dp = H_pp^-1 (b_p - W^T dc)
     u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
-    dp = _batched_spd_solve(
-        H_pp_l, b_p - _seg_sum(u, prob.obs_point, b_p.shape[0], axis_name)
+    dp = jnp.einsum(
+        "nij,nj->ni", Hpp_inv,
+        b_p - _seg_sum(u, prob.obs_point, b_p.shape[0], axis_name),
     )
     dp = dp * prob.point_mask[:, None]
 

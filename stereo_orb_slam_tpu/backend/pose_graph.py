@@ -127,7 +127,8 @@ def gn_step_impl(prob: PoseGraphProblem, cfg: PoseGraphConfig, axis_name=None):
     eye6 = jnp.eye(6, dtype=diag.dtype)
     diag = diag + cfg.damping * eye6[None]
     diag = jnp.where(prob.vertex_mask[:, None, None] > 0, diag, eye6[None])
-    M_inv = jnp.linalg.inv(diag)
+    from stereo_orb_slam_tpu.backend.ba import _inv6_gj
+    M_inv = _inv6_gj(diag)
 
     def matvec(x):
         xm = x * prob.vertex_mask[:, None]
