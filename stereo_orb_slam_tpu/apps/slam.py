@@ -74,14 +74,16 @@ def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
 
         uv_dst = world.frame_feat_uv[dst]
         uv_src = world.frame_feat_uv[src][idx_np]
-        # Triangulate both frames' stereo observations through the rig.
-        from stereo_orb_slam_tpu.geometry.camera import triangulate
+        # Re-triangulate both frames' stored stereo observations. Stored
+        # observations are already ideal-pinhole (undistorted by the front
+        # end), so use the ideal path.
+        from stereo_orb_slam_tpu.geometry.camera import triangulate_ideal
 
-        pts_dst, tv_d = triangulate(
+        pts_dst, tv_d = triangulate_ideal(
             rig, jnp.asarray(uv_dst[:, :2]), jnp.asarray(uv_dst[:, 2:]),
             rectified=rect,
         )
-        pts_src, tv_s = triangulate(
+        pts_src, tv_s = triangulate_ideal(
             rig, jnp.asarray(uv_src[:, :2]), jnp.asarray(uv_src[:, 2:]),
             rectified=rect,
         )

@@ -107,8 +107,19 @@ def associate(
     )
     kp_r = xy_r[r_idx]
 
+    # Normalize observations to ideal pinhole coordinates once, up front:
+    # for a non-rectified rig the raw pixels are undistorted here, so the
+    # slots / map observations / RANSAC / BA all see consistent geometry
+    # (fixes the reference's distorted-obs-vs-pinhole-projection mismatch).
+    if rectified is False:
+        xy_l = cam_mod.undistort_points(rig.left, xy_l)
+        kp_r = cam_mod.undistort_points(rig.right, kp_r)
+
     # --- triangulation + validity gates (ref :299-314, :128-148)
-    pts, tri_ok = cam_mod.triangulate(rig, xy_l, kp_r, rectified=rectified)
+    pts, tri_ok = cam_mod.triangulate_ideal(
+        rig, xy_l, kp_r,
+        rectified=(True if rectified is None else rectified),
+    )
     depth_ok = jnp.abs(pts[:, 2]) < max_distance
     slot_valid = v_l & s_ok & tri_ok & depth_ok
     pts = jnp.where(slot_valid[:, None], pts, 0.0)

@@ -229,6 +229,26 @@ def triangulate_general(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0):
     return pts, valid
 
 
+def triangulate_ideal(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0,
+                      rectified: bool = True):
+    """Triangulate ALREADY-UNDISTORTED (ideal pinhole) pixel observations.
+
+    Static dispatch: rectified -> closed-form disparity; general -> DLT
+    without re-undistorting. This is the path the front end uses after it
+    normalizes observations (see frontend/odometer.py): downstream RANSAC,
+    BA, and loop-closure geometry all consume ideal coordinates, fixing the
+    reference's inconsistency where Ceres/RANSAC residuals compared pinhole
+    projections against raw distorted pixels (ref reprojection_error.h:27-38
+    with raw observations from visual_odometer.cpp:167-169).
+    """
+    if rectified:
+        return triangulate_rectified(rig, uv_l, uv_r, max_depth)
+    pts = triangulate_dlt(rig.left.projection, rig.right.projection, uv_l, uv_r)
+    local = se3.transform_points(se3.inverse(rig.left.pose), pts)
+    valid = (local[..., 2] > 0.0) & (local[..., 2] < max_depth)
+    return pts, valid
+
+
 def triangulate(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0,
                 rectified=None):
     """Dispatch rectified / general triangulation; both return (pts, valid).
