@@ -17,6 +17,10 @@ from stereo_orb_slam_tpu.utils import logging as slog
 
 
 def main(argv=None):
+    from stereo_orb_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description="Offline global BA over a dump")
     ap.add_argument("--input_dir", required=True)
     ap.add_argument("--camera", required=True)

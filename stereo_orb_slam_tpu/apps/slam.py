@@ -246,6 +246,10 @@ class SlamSystem:
 
 
 def main(argv=None):
+    from stereo_orb_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(
         description="TPU-native stereo SLAM (full pipeline)"
     )

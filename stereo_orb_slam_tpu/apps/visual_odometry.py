@@ -20,6 +20,10 @@ from stereo_orb_slam_tpu.worldmap import WorldMap
 
 
 def main(argv=None):
+    from stereo_orb_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description="TPU-native stereo visual odometry")
     ap.add_argument("--dataset", required=True, help="kitti | EuRoc | other")
     ap.add_argument("--folder", required=True)

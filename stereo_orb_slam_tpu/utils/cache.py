@@ -22,6 +22,13 @@ def enable_compilation_cache(path: str | None = None):
         return
     import jax
 
+    # Honor JAX_PLATFORMS even when a sitecustomize hook force-set the
+    # platform via jax.config after import (as the axon TPU plugin does):
+    # without this, CLIs asked to run on CPU silently run on the TPU.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and jax.config.jax_platforms != env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
     path = path or os.environ.get("SOSL_JAX_CACHE", _DEFAULT)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
