@@ -297,5 +297,22 @@ def main(argv=None):
         print(f"ATE RMSE: {ate:.3f} m   RPE: {t_rpe:.4f} m / {r_rpe:.5f} rad")
 
 
+def cli():
+    """Entry point with reference-style [FAIL] messages instead of
+    tracebacks for predictable operator errors (ref slam.cpp:45-71)."""
+    import sys
+
+    from stereo_orb_slam_tpu.utils import logging as _slog
+
+    try:
+        main()
+    except FileNotFoundError as e:
+        _slog.fail(f"{e.filename or e}: file not found")
+        sys.exit(1)
+    except ValueError as e:
+        _slog.fail(str(e))
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    cli()

@@ -185,12 +185,17 @@ gn_step = jax.jit(gn_step_impl, static_argnames=("cfg", "axis_name"))
 
 
 class PoseGraphOptimizer:
-    """Host orchestration over the WorldMap, incremental like the reference.
+    """Host orchestration over the WorldMap.
 
-    `m_last_id` semantics (ref pose_graph_optimizer.cpp:56-59): each call
-    extends the odometry chain from the last optimized frame to the current
-    end, then adds the pending loop edges, optimizes, writes back, and
-    propagates the un-optimized tail.
+    Design deviation from the reference: the reference EXTENDS a persistent
+    g2o graph incrementally (`m_last_id`, ref pose_graph_optimizer.cpp:56-59)
+    because re-adding vertices/edges to g2o is expensive. Here the graph is
+    stateless array data rebuilt from the WorldMap each call — building the
+    edge arrays is O(N) numpy and the solve itself is the dominant cost, so
+    the incremental bookkeeping buys nothing and full rebuild is simpler and
+    equivalent (all committed loop edges are retained in `committed_edges`
+    and re-used... pending edges are consumed exactly once, matching the
+    reference's clear() at ref :216).
     """
 
     def __init__(self, world, cfg: Optional[PoseGraphConfig] = None,
