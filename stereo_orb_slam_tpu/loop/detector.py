@@ -87,7 +87,10 @@ class LoopDetector:
             return None
 
         vec = self.vocab.bow_vector(jnp.asarray(desc), jnp.asarray(valid))
-        scores = np.asarray(l1_scores(vec, self.database[: self.db_size]))
+        # Score against the FULL fixed-capacity database and slice on host:
+        # slicing the device array to db_size would change the jit shape
+        # every frame and recompile the scoring program per frame.
+        scores = np.asarray(l1_scores(vec, self.database))[: self.db_size]
         k = min(cfg.query_size, len(scores))
         top = np.argsort(-scores)[:k]
         self.matches.append((int(top[0]), float(scores[top[0]])))
