@@ -280,7 +280,12 @@ lm_step = jax.jit(lm_step_impl, static_argnames=("cfg", "axis_name"))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:
-    return max(mult, ((n + mult - 1) // mult) * mult)
+    """Pad to the next power of two (>= mult): BA problem sizes grow every
+    frame, and each distinct padded shape is a separate XLA compile (tens of
+    seconds on TPU) — geometric buckets keep the number of unique shapes
+    logarithmic over a whole sequence at <=2x memory overhead."""
+    n = max(n, mult)
+    return 1 << (n - 1).bit_length()
 
 
 class BundleAdjuster:
