@@ -84,15 +84,6 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     return H_cc, H_pp, W, b_c, b_p, cost
 
 
-def _damp(H, lam, eps=1e-8):
-    """Marquardt scaling: H + lam * diag(H) (+ floor) on the block diagonal."""
-    d = jnp.diagonal(H, axis1=-2, axis2=-1)
-    add = lam * d + eps
-    return H + jnp.eye(H.shape[-1], dtype=H.dtype)[None] * add[..., None, :] * jnp.eye(
-        H.shape[-1], dtype=H.dtype
-    )
-
-
 def _damp_blocks(H, lam, eps=1e-8):
     d = jnp.diagonal(H, axis1=-2, axis2=-1)  # [N,k]
     return H + jnp.vectorize(jnp.diag, signature="(k)->(k,k)")(lam * d + eps)
