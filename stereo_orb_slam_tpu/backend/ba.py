@@ -64,8 +64,25 @@ def _seg_sum(x, ids, num, axis_name=None):
     return out
 
 
+def _seg_sum_points(x, obs_point, num, axis_name=None, dense_slots=None):
+    """Per-point reduction of per-observation rows x [O, ...].
+
+    Matrix-free/distributed: a segment-sum scatter. With `dense_slots`
+    (windowed fast path), the point-grouped slot map turns it into a
+    gather + local reduce over the K slot axis — scatters serialize on TPU,
+    gathers don't."""
+    if dense_slots is None:
+        return _seg_sum(x, obs_point, num, axis_name)
+    from stereo_orb_slam_tpu.backend.schur_dense import slot_gather
+
+    sto, _, smask = dense_slots
+    F = int(np.prod(x.shape[1:]))
+    g = slot_gather(x.reshape(-1, F), sto, smask)
+    return jnp.sum(g, axis=1).reshape((sto.shape[0],) + x.shape[1:])[:num]
+
+
 def build_normal_equations(prob: BAProblem, huber_delta: float,
-                           axis_name=None):
+                           axis_name=None, dense_slots=None):
     r, J_c, J_p, cost = res_mod.residuals_and_jacobians(
         prob.pose6, prob.points, prob.obs_cam, prob.obs_point, prob.obs_uv,
         prob.obs_weight, prob.P_l, prob.P_r, huber_delta,
@@ -76,9 +93,16 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     JpT_Jp = jnp.einsum("oki,okj->oij", J_p, J_p)        # [O,3,3]
     W = jnp.einsum("oki,okj->oij", J_c, J_p)             # [O,6,3]
     H_cc = _seg_sum(JcT_Jc, prob.obs_cam, C, axis_name)  # [C,6,6]
-    H_pp = _seg_sum(JpT_Jp, prob.obs_point, P, axis_name)  # [P,3,3]
     b_c = -_seg_sum(jnp.einsum("oki,ok->oi", J_c, r), prob.obs_cam, C, axis_name)
-    b_p = -_seg_sum(jnp.einsum("oki,ok->oi", J_p, r), prob.obs_point, P, axis_name)
+    # Point-side reductions fused into one row per observation (a single
+    # gather-reduce on the dense path instead of two scatters).
+    pt_rows = jnp.concatenate(
+        [JpT_Jp.reshape(-1, 9), -jnp.einsum("oki,ok->oi", J_p, r)], axis=-1
+    )
+    pt_red = _seg_sum_points(pt_rows, prob.obs_point, P, axis_name,
+                             dense_slots)
+    H_pp = pt_red[:, :9].reshape(-1, 3, 3)               # [P,3,3]
+    b_p = pt_red[:, 9:]                                  # [P,3]
     if axis_name is not None:
         cost = jax.lax.psum(cost, axis_name)
     return H_cc, H_pp, W, b_c, b_p, cost
@@ -197,17 +221,10 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
     return x
 
 
-def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
-    """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
-
-    Returns (new_prob, new_lam, accepted, cost_before, cost_after).
-    With `axis_name` set this runs inside shard_map: prob.obs_* are local
-    shards, poses/points replicated, reductions psum'd.
-    """
-    H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
-        prob, cfg.huber_delta, axis_name
-    )
-
+def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
+              axis_name=None, dense_slots=None):
+    """Damp, marginalize points (Schur), solve the reduced camera system,
+    back-substitute. Returns the PROPOSED (pose6, points) for this lambda."""
     H_cc_l = _damp_blocks(H_cc, lam)
     H_pp_l = _damp_blocks(H_pp, lam)
     # Guard padding points: identity blocks so Cholesky stays finite.
@@ -230,12 +247,23 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
     H_cc_safe = jnp.where(prob.cam_mask[:, None, None] > 0, H_cc_l, eye6[None])
     M_inv = _inv6_gj(H_cc_safe + 1e-8 * eye6[None])
 
-    mv = partial(
-        schur_matvec,
-        H_cc_l=H_cc_safe, Hpp_inv=Hpp_inv, W=W,
-        obs_cam=prob.obs_cam, obs_point=prob.obs_point, cam_mask=prob.cam_mask,
-        axis_name=axis_name,
-    )
+    if dense_slots is not None:
+        from stereo_orb_slam_tpu.backend import schur_dense
+
+        S = schur_dense.assemble_schur(
+            H_cc_safe, W, Hpp_inv, dense_slots[0], dense_slots[1],
+            dense_slots[2], prob.cam_mask,
+        )
+
+        def mv(x):
+            return (S @ x.reshape(-1)).reshape(x.shape)
+    else:
+        mv = partial(
+            schur_matvec,
+            H_cc_l=H_cc_safe, Hpp_inv=Hpp_inv, W=W,
+            obs_cam=prob.obs_cam, obs_point=prob.obs_point,
+            cam_mask=prob.cam_mask, axis_name=axis_name,
+        )
     dc = pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
     dc = dc * prob.cam_mask[:, None]
 
@@ -243,12 +271,34 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
     u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
     dp = jnp.einsum(
         "nij,nj->ni", Hpp_inv,
-        b_p - _seg_sum(u, prob.obs_point, b_p.shape[0], axis_name),
+        b_p - _seg_sum_points(u, prob.obs_point, b_p.shape[0], axis_name,
+                              dense_slots),
     )
     dp = dp * prob.point_mask[:, None]
 
     pose6_new = prob.pose6 + dc
     points_new = jnp.clip(prob.points + dp, -cfg.point_bound, cfg.point_bound)
+    return pose6_new, points_new
+
+
+def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
+                 dense_slots=None):
+    """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
+
+    Returns (new_prob, new_lam, accepted, cost_before, cost_after).
+    With `axis_name` set this runs inside shard_map: prob.obs_* are local
+    shards, poses/points replicated, reductions psum'd.
+    With `dense_slots` = (slot_to_obs, slot_cam, slot_mask) from
+    schur_dense.group_slots, the reduced camera system is materialized on
+    the MXU and PCG runs on the explicit S (the windowed fast path; see
+    backend/schur_dense.py). Mutually exclusive with `axis_name`.
+    """
+    H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
+        prob, cfg.huber_delta, axis_name, dense_slots
+    )
+    pose6_new, points_new = _solve_lm(
+        prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots
+    )
 
     cost1 = res_mod.robust_cost(
         pose6_new, points_new, prob.obs_cam, prob.obs_point, prob.obs_uv,
@@ -268,6 +318,73 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None):
 
 
 lm_step = jax.jit(lm_step_impl, static_argnames=("cfg", "axis_name"))
+
+
+class LMCarry(NamedTuple):
+    """Evaluate-once LM state: the normal equations at the CURRENT params
+    ride along, so each iteration runs exactly one residual/Jacobian pass
+    (at the trial point — which doubles as the next iteration's build when
+    the step is accepted; on rejection the cached blocks are reused with a
+    larger lambda)."""
+
+    prob: BAProblem
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    H_cc: jnp.ndarray
+    H_pp: jnp.ndarray
+    W: jnp.ndarray
+    b_c: jnp.ndarray
+    b_p: jnp.ndarray
+
+
+def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None):
+    H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
+        prob, cfg.huber_delta, None, dense_slots
+    )
+    return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
+                   H_cc, H_pp, W, b_c, b_p)
+
+
+def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None):
+    """One evaluate-once LM iteration (single-device fast path).
+
+    Returns (new_carry, accepted, cost_before, cost_after). The accept
+    decisions and damping schedule are identical to lm_step_impl — the
+    trial cost here comes from the SAME whitened-residual pass that also
+    produces the trial normal equations.
+    """
+    prob = carry.prob
+    pose6_new, points_new = _solve_lm(
+        prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
+        carry.lam, cfg, None, dense_slots,
+    )
+    prob_try = prob._replace(pose6=pose6_new, points=points_new)
+    H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
+        prob_try, cfg.huber_delta, None, dense_slots
+    )
+
+    accept = cost_try < carry.cost
+    lam_new = jnp.where(accept, carry.lam * cfg.lm_lambda_down,
+                        carry.lam * cfg.lm_lambda_up)
+    lam_new = jnp.clip(lam_new, cfg.lm_lambda_min, cfg.lm_lambda_max)
+
+    def sel(a, b):
+        return jnp.where(accept, a, b)
+
+    new_carry = LMCarry(
+        prob=prob._replace(pose6=sel(pose6_new, prob.pose6),
+                           points=sel(points_new, prob.points)),
+        lam=lam_new,
+        cost=sel(cost_try, carry.cost),
+        H_cc=sel(H_cc2, carry.H_cc), H_pp=sel(H_pp2, carry.H_pp),
+        W=sel(W2, carry.W), b_c=sel(b_c2, carry.b_c),
+        b_p=sel(b_p2, carry.b_p),
+    )
+    return new_carry, accept, carry.cost, cost_try
+
+
+lm_init = jax.jit(lm_init_impl, static_argnames=("cfg",))
+lm_iteration = jax.jit(lm_iteration_impl, static_argnames=("cfg",))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:
@@ -323,9 +440,12 @@ class BundleAdjuster:
         obs_point = np.zeros(O_pad, np.int32)
         obs_uv = np.zeros((O_pad, 4), np.float32)
         obs_w = np.zeros(O_pad, np.float32)
-        obs_cam[:n_obs] = problem["obs_cam"]
-        obs_point[:n_obs] = problem["obs_point"]
-        obs_uv[:n_obs] = problem["obs_uv"]
+        # Point-sorted layout: contiguous per-point runs make the dense-Schur
+        # slot maps monotonic (sorted gathers; see schur_dense.group_slots).
+        order = np.argsort(problem["obs_point"], kind="stable")
+        obs_cam[:n_obs] = np.asarray(problem["obs_cam"])[order]
+        obs_point[:n_obs] = np.asarray(problem["obs_point"])[order]
+        obs_uv[:n_obs] = np.asarray(problem["obs_uv"])[order]
         obs_w[:n_obs] = 1.0
 
         cam_mask = np.ones(C, np.float32)
@@ -346,11 +466,27 @@ class BundleAdjuster:
         )
 
         cfg = self.cfg
+        # Dense-Schur fast path for windowed problems (see
+        # backend/schur_dense.py); matrix-free otherwise.
+        from stereo_orb_slam_tpu.backend import schur_dense
+
+        dense_slots = None
+        if C <= cfg.dense_schur_max_cams:
+            sto, scam, smask, K = schur_dense.group_slots(
+                obs_point[:n_obs], obs_cam[:n_obs], P_pad, n_obs
+            )
+            if P_pad * K <= cfg.dense_schur_max_slots:
+                dense_slots = (
+                    jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask)
+                )
+
         iters = max_iterations or cfg.max_iterations
-        lam = jnp.float32(cfg.lm_lambda_init)
+        carry = lm_init(prob, cfg, dense_slots=dense_slots)
         cost_first = cost_last = None
         for it in range(iters):
-            prob, lam, accepted, c0, c1 = lm_step(prob, lam, cfg)
+            carry, accepted, c0, c1 = lm_iteration(
+                carry, cfg, dense_slots=dense_slots
+            )
             c0f, c1f = float(c0), float(c1)
             if cost_first is None:
                 cost_first = c0f
@@ -360,10 +496,10 @@ class BundleAdjuster:
 
         # Write back: pose6 (world->camera) -> camera-to-world matrices.
         cam_world_new = np.asarray(
-            se3.inverse(se3.pose6_to_matrix(prob.pose6))
+            se3.inverse(se3.pose6_to_matrix(carry.prob.pose6))
         )
         self.world.ba_writeback(
-            problem, cam_world_new, np.asarray(prob.points[:P_real])
+            problem, cam_world_new, np.asarray(carry.prob.points[:P_real])
         )
         self.last_stats = {
             "iterations": it + 1,

@@ -103,6 +103,29 @@ def jacobians_closed(pose6, point, P_l, P_r):
     return J_c, J_p
 
 
+def residuals_and_jacobians_gathered(p6, pt, obs_uv, obs_weight, P_l, P_r,
+                                     huber_delta: float):
+    """Core of residuals_and_jacobians on PRE-GATHERED per-observation poses
+    and points (any leading batch shape). Used directly by the dense-Schur
+    path, where the point 'gather' is a local broadcast."""
+    batch = p6.shape[:-1]
+    r = jax.vmap(residual_one, in_axes=(0, 0, 0, None, None))(
+        p6.reshape(-1, 6), pt.reshape(-1, 3), obs_uv.reshape(-1, 4), P_l, P_r
+    ).reshape(*batch, 4)
+    J_c, J_p = jacobians_closed(p6, pt, P_l, P_r)
+
+    s = jnp.sum(r * r, axis=-1)
+    d2 = huber_delta * huber_delta
+    # Ceres Huber: rho(s) = s (s<=d2) else 2*d*sqrt(s) - d2; rho' = min(1, d/sqrt(s))
+    sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-18))
+    hw = jnp.where(s <= d2, 1.0, huber_delta / sqrt_s)
+    rho = jnp.where(s <= d2, s, 2.0 * huber_delta * sqrt_s - d2)
+    cost = 0.5 * jnp.sum(rho * obs_weight)
+
+    wscale = (jnp.sqrt(hw) * obs_weight)[..., None]
+    return r * wscale, J_c * wscale[..., None], J_p * wscale[..., None], cost
+
+
 def residuals_and_jacobians(pose6_all, points_all, obs_cam, obs_point, obs_uv,
                             obs_weight, P_l, P_r, huber_delta: float):
     """Whitened residuals + Jacobians for a batch of observations.
@@ -119,22 +142,23 @@ def residuals_and_jacobians(pose6_all, points_all, obs_cam, obs_point, obs_uv,
     """
     p6 = pose6_all[obs_cam]
     pt = points_all[obs_point]
-
-    r = jax.vmap(residual_one, in_axes=(0, 0, 0, None, None))(
-        p6, pt, obs_uv, P_l, P_r
+    return residuals_and_jacobians_gathered(
+        p6, pt, obs_uv, obs_weight, P_l, P_r, huber_delta
     )
-    J_c, J_p = jacobians_closed(p6, pt, P_l, P_r)
 
+
+def robust_cost_gathered(p6, pt, obs_uv, obs_weight, P_l, P_r,
+                         huber_delta: float):
+    """Cost only, on pre-gathered per-observation poses/points."""
+    batch = p6.shape[:-1]
+    r = jax.vmap(residual_one, in_axes=(0, 0, 0, None, None))(
+        p6.reshape(-1, 6), pt.reshape(-1, 3), obs_uv.reshape(-1, 4), P_l, P_r
+    ).reshape(*batch, 4)
     s = jnp.sum(r * r, axis=-1)
     d2 = huber_delta * huber_delta
-    # Ceres Huber: rho(s) = s (s<=d2) else 2*d*sqrt(s) - d2; rho' = min(1, d/sqrt(s))
     sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-18))
-    hw = jnp.where(s <= d2, 1.0, huber_delta / sqrt_s)
     rho = jnp.where(s <= d2, s, 2.0 * huber_delta * sqrt_s - d2)
-    cost = 0.5 * jnp.sum(rho * obs_weight)
-
-    wscale = (jnp.sqrt(hw) * obs_weight)[:, None]
-    return r * wscale, J_c * wscale[..., None], J_p * wscale[..., None], cost
+    return 0.5 * jnp.sum(rho * obs_weight)
 
 
 def robust_cost(pose6_all, points_all, obs_cam, obs_point, obs_uv, obs_weight,

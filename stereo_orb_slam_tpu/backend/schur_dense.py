@@ -1,0 +1,140 @@
+"""Explicit (dense) reduced-camera-system assembly for windowed BA.
+
+Same math as the matrix-free path in backend/ba.py (LM over the reference's
+stereo reprojection cost, ref `src/bundle_adjuster.cpp:39-133`); only the
+Schur solve differs. The matrix-free path pays two segment-sum scatters +
+two gathers over all observations PER CG ITERATION — measured ~2.4 ms per
+iteration on v5e at O=131k, ~60% of the LM step. Here the reduced camera
+system
+
+    S = H_cc_l - W H_pp_l^-1 W^T        (6C x 6C)
+
+is MATERIALIZED once per LM step as a sum of pure MXU matmuls, and PCG then
+runs on the explicit S: one [6C,6C] matvec per iteration (~6 us measured),
+so the CG budget is effectively free and runs to a tight tolerance.
+
+Layout contract: the BundleAdjuster sorts observations BY POINT on the
+host, so each point's observations form a contiguous run. `group_slots`
+then emits MONOTONIC [P, K] slot->observation index maps (clamped run
+indices + validity mask), which makes the one big W gather
+`indices_are_sorted` (single sweep) and turns every point-side reduction
+into a gather + local sum over the K slot axis — no scatter anywhere.
+
+Assembly: per point chunk, the slot W blocks are expanded into a dense
+A = [3*Pc, 6C] via a one-hot matmul (slot camera id -> camera column
+block), and  S -= A^T (blockdiag(Hpp_inv) A)  accumulates over chunks as a
+single well-shaped [6C,3Pc]x[3Pc,6C] matmul — the contraction the MXU is
+built for. Memory peaks at O(P*K) + O((6C)^2), so this path is gated to
+windowed problems (C <= BAConfig.dense_schur_max_cams, P*K <=
+dense_schur_max_slots); global BA over thousands of keyframes and the
+distributed shard_map path keep the matrix-free formulation
+(backend/ba.py, parallel/dist_ba.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def group_slots(obs_point, obs_cam, n_points_pad: int, n_obs: int):
+    """Host-side slot maps for dense-Schur assembly.
+
+    REQUIRES obs_point sorted ascending (the BundleAdjuster's layout).
+    Returns (slot_to_obs [P,K] int32 — monotonic, clamped into each point's
+    run; slot_cam [P,K] int32; slot_mask [P,K] float32; K) with K the max
+    observations per point rounded up to a power of two (min 2).
+    """
+    obs_point = np.asarray(obs_point)
+    obs_cam = np.asarray(obs_cam)
+    assert np.all(np.diff(obs_point) >= 0), "observations must be point-sorted"
+    counts = np.bincount(obs_point, minlength=n_points_pad)[:n_points_pad]
+    kmax = max(int(counts.max(initial=0)), 2)
+    K = 1 << (kmax - 1).bit_length()
+
+    starts = np.zeros(n_points_pad, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    k = np.arange(K)
+    # Clamp within each run (keeps the raster order monotonic; padding slots
+    # re-read the run's last row and are zeroed by slot_mask).
+    sto = starts[:, None] + np.minimum(k[None, :], np.maximum(counts - 1, 0)[:, None])
+    sto = np.minimum(sto, max(n_obs - 1, 0)).astype(np.int32)
+    mask = (k[None, :] < counts[:, None]).astype(np.float32)
+    scam = np.where(mask > 0, obs_cam[sto] if n_obs else 0, 0).astype(np.int32)
+    return sto, scam, mask, K
+
+
+def slot_gather(x, slot_to_obs, slot_mask):
+    """x [O, F] -> [P, K, F] via the monotonic slot map (sorted gather)."""
+    P, K = slot_to_obs.shape
+    F = x.shape[-1]
+    out = lax.gather(
+        x, slot_to_obs[..., None],
+        lax.GatherDimensionNumbers(
+            offset_dims=(2,), collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, F), indices_are_sorted=True,
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    return out * slot_mask[..., None]
+
+
+def _chunk_size(P: int, K: int, C: int) -> int:
+    """Point-chunk size bounding the [Pc,K,C] one-hot and [3Pc,6C] dense A
+    to ~96 MB each."""
+    budget = 96 * 1024 * 1024 // 4
+    pc = min(budget // max(K * C, 1), budget // max(C * 18, 1))
+    pc = max(256, 1 << max(int(pc).bit_length() - 1, 0))
+    return min(P, pc)
+
+
+def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
+                   cam_mask):
+    """Materialize S = H_cc_safe - W H_pp^-1 W^T as [6C, 6C].
+
+    W: [O,6,3] flat per-observation coupling blocks (J_c^T J_p);
+    Hpp_inv: [P,3,3]; slot maps from `group_slots`. Fixed cameras get
+    identity rows/cols (the pinning the matrix-free matvec applies).
+    """
+    C = H_cc_safe.shape[0]
+    P, K = slot_to_obs.shape
+    Wg = slot_gather(W.reshape(-1, 18), slot_to_obs, slot_mask)
+    Wg = Wg.reshape(P, K, 6, 3)
+    Pc = _chunk_size(P, K, C)
+    if P % Pc:  # round P up to a chunk multiple with zero contributions
+        extra = Pc - P % Pc
+        Wg = jnp.concatenate([Wg, jnp.zeros((extra, K, 6, 3), Wg.dtype)])
+        slot_cam = jnp.concatenate(
+            [slot_cam, jnp.zeros((extra, K), slot_cam.dtype)]
+        )
+        Hpp_inv = jnp.concatenate(
+            [Hpp_inv, jnp.zeros((extra, 3, 3), Hpp_inv.dtype)]
+        )
+        P += extra
+    n_chunks = P // Pc
+    cam_range = jnp.arange(C, dtype=slot_cam.dtype)
+
+    def body(S_acc, chunk):
+        cam_c, Wg_c, Minv_c = chunk
+        oh = (cam_c[..., None] == cam_range).astype(jnp.float32)  # [Pc,K,C]
+        A = jnp.einsum("pkc,pkia->paci", oh, Wg_c)                # [Pc,3,C,6]
+        A2 = A.reshape(Pc * 3, C * 6)
+        T = jnp.einsum("pab,pbx->pax", Minv_c, A.reshape(Pc, 3, C * 6))
+        S_acc = S_acc + A2.T @ T.reshape(Pc * 3, C * 6)
+        return S_acc, None
+
+    chunks = (
+        slot_cam.reshape(n_chunks, Pc, K),
+        Wg.reshape(n_chunks, Pc, K, 6, 3),
+        Hpp_inv.reshape(n_chunks, Pc, 3, 3),
+    )
+    S_sub, _ = jax.lax.scan(body, jnp.zeros((C * 6, C * 6), jnp.float32),
+                            chunks)
+    idx = jnp.arange(C)
+    S = (-S_sub.reshape(C, 6, C, 6)).at[idx, :, idx, :].add(H_cc_safe)
+    S = S.reshape(6 * C, 6 * C)
+    m = jnp.repeat(cam_mask, 6)
+    return S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)

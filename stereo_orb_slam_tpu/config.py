@@ -116,6 +116,11 @@ class BAConfig:
     # Ceres tolerances to 1e-16, i.e. effectively runs to the iteration cap;
     # ref src/bundle_adjuster.cpp:35-36).
     function_tolerance: float = 1e-9
+    # Dense-Schur fast path (backend/schur_dense.py): used when the window
+    # has at most this many cameras AND the point-grouped slot count
+    # (P_pad * max_track_len) fits; larger/global problems stay matrix-free.
+    dense_schur_max_cams: int = 512
+    dense_schur_max_slots: int = 4_194_304
 
 
 @dataclass(frozen=True)

@@ -150,3 +150,143 @@ def test_point_bound_clamp(rng):
     adj = ba.BundleAdjuster(world, rig, BAConfig(max_iterations=3))
     adj.optimize(0, world.num_frames)
     assert np.all(np.abs(world.points[: world.num_points]) <= 10000.0)
+
+
+def _flat_prob_from_world(world, adj, pad=ba._pad_to):
+    prob = world.ba_problem(0, world.num_frames)
+    n_obs = len(prob["obs_cam"])
+    C = len(prob["frame_ids"])
+    P_real = len(prob["point_ids"])
+    P_pad, O_pad = pad(P_real), pad(n_obs)
+    pose6 = np.asarray(
+        se3.matrix_to_pose6(se3.inverse(jnp.asarray(prob["cam_world"])))
+    )
+    points = np.zeros((P_pad, 3), np.float32)
+    points[:P_real] = prob["point_xyz"]
+    obs_cam = np.zeros(O_pad, np.int32)
+    obs_point = np.zeros(O_pad, np.int32)
+    obs_uv = np.zeros((O_pad, 4), np.float32)
+    obs_w = np.zeros(O_pad, np.float32)
+    order = np.argsort(prob["obs_point"], kind="stable")
+    obs_cam[:n_obs] = np.asarray(prob["obs_cam"])[order]
+    obs_point[:n_obs] = np.asarray(prob["obs_point"])[order]
+    obs_uv[:n_obs] = np.asarray(prob["obs_uv"])[order]
+    obs_w[:n_obs] = 1.0
+    cam_mask = np.ones(C, np.float32)
+    cam_mask[0] = 0.0
+    point_mask = np.zeros(P_pad, np.float32)
+    point_mask[:P_real] = 1.0
+    return prob, ba.BAProblem(
+        pose6=jnp.asarray(pose6), points=jnp.asarray(points),
+        obs_cam=jnp.asarray(obs_cam), obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(obs_uv), obs_weight=jnp.asarray(obs_w),
+        cam_mask=jnp.asarray(cam_mask), point_mask=jnp.asarray(point_mask),
+        P_l=adj.P_l, P_r=adj.P_r,
+    ), n_obs, P_pad
+
+
+def test_group_slots_roundtrip(rng):
+    from stereo_orb_slam_tpu.backend import schur_dense
+
+    n_pts, n_obs = 37, 200
+    obs_point = np.sort(rng.integers(0, n_pts, n_obs).astype(np.int32))
+    obs_cam = rng.integers(0, 9, n_obs).astype(np.int32)
+    sto, scam, mask, K = schur_dense.group_slots(obs_point, obs_cam, 64, n_obs)
+    assert mask.sum() == n_obs
+    # Valid slots enumerate each point's observations exactly once, with the
+    # camera id mirrored; the flattened valid map is monotonic.
+    seen = sorted(sto[mask > 0].tolist())
+    assert seen == list(range(n_obs))
+    assert np.all(np.diff(sto.ravel()) >= 0)
+    for p in range(64):
+        for k in range(K):
+            if mask[p, k] > 0:
+                assert obs_point[sto[p, k]] == p
+                assert scam[p, k] == obs_cam[sto[p, k]]
+    assert not mask[37:].any()
+
+
+def test_dense_schur_matches_matrix_free(rng):
+    """One LM step with explicit-S assembly must match the matrix-free path
+    (same normal equations; CG solves to tight tol on both)."""
+    from stereo_orb_slam_tpu.backend import schur_dense
+
+    world, rig, *_ = synth_ba_world(rng, n_frames=6, n_points=150,
+                                    noise_px=0.5)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.1, (world.num_points, 3)
+    ).astype(np.float32)
+    adj = ba.BundleAdjuster(world, rig)
+    raw, flat, n_obs, P_pad = _flat_prob_from_world(world, adj)
+
+    n_real = int(np.sum(np.asarray(flat.obs_weight) > 0))
+    sto, scam, smask, K = schur_dense.group_slots(
+        np.asarray(flat.obs_point)[:n_real], np.asarray(flat.obs_cam)[:n_real],
+        P_pad, n_real,
+    )
+    cfg = BAConfig(cg_iterations=200, cg_tol=1e-10)
+    lam = jnp.float32(1e-4)
+    f1, lam_f, acc_f, c0_f, c1_f = ba.lm_step(flat, lam, cfg)
+    d1, lam_d, acc_d, c0_d, c1_d = ba.lm_step(
+        flat, lam, cfg,
+        dense_slots=(jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask)),
+    )
+
+    np.testing.assert_allclose(float(c0_f), float(c0_d), rtol=1e-5)
+    assert bool(acc_f) == bool(acc_d)
+    np.testing.assert_allclose(float(c1_f), float(c1_d), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(f1.pose6), np.asarray(d1.pose6), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1.points), np.asarray(d1.points), atol=5e-3
+    )
+
+
+def test_dense_schur_full_optimize_converges(rng):
+    """End-to-end optimize() on the dense path (small window triggers it)."""
+    world, rig, gt_poses, pts_gt = synth_ba_world(rng, n_frames=6)
+    for i in range(1, world.num_frames):
+        d = np.eye(4, dtype=np.float32)
+        d[:3, 3] = rng.normal(size=3) * 0.1
+        world.pose_global[i] = world.pose_global[i] @ d
+    adj = ba.BundleAdjuster(world, rig, BAConfig(max_iterations=30))
+    stats = adj.optimize(0, world.num_frames)
+    assert stats["cost_final"] < stats["cost_initial"] * 1e-2
+    for i in range(world.num_frames):
+        dT = np.linalg.inv(gt_poses[i]) @ world.pose_global[i]
+        assert np.linalg.norm(dT[:3, 3]) < 0.03, i
+
+
+def test_evaluate_once_lm_matches_two_pass(rng):
+    """The cached-NE LM loop (lm_init/lm_iteration) must reproduce the
+    two-pass lm_step sequence: same accept decisions and costs."""
+    world, rig, *_ = synth_ba_world(rng, n_frames=5, n_points=100,
+                                    noise_px=0.8)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.15, (world.num_points, 3)
+    ).astype(np.float32)
+    adj = ba.BundleAdjuster(world, rig)
+    _, flat, n_obs, P_pad = _flat_prob_from_world(world, adj)
+
+    cfg = BAConfig(cg_iterations=200, cg_tol=1e-12)
+    lam = jnp.float32(cfg.lm_lambda_init)
+    prob = flat
+    seq_two_pass = []
+    for _ in range(8):
+        prob, lam, acc, c0, c1 = ba.lm_step(prob, lam, cfg)
+        seq_two_pass.append((bool(acc), float(c0), float(c1)))
+
+    carry = ba.lm_init(flat, cfg)
+    seq_cached = []
+    for _ in range(8):
+        carry, acc, c0, c1 = ba.lm_iteration(carry, cfg)
+        seq_cached.append((bool(acc), float(c0), float(c1)))
+
+    for (a1, b1, d1), (a2, b2, d2) in zip(seq_two_pass, seq_cached):
+        assert a1 == a2
+        np.testing.assert_allclose(b1, b2, rtol=1e-4)
+        np.testing.assert_allclose(d1, d2, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(prob.pose6), np.asarray(carry.prob.pose6), atol=1e-5
+    )
