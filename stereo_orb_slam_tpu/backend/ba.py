@@ -13,9 +13,10 @@ with a TPU-native formulation in which every stage is a batched dense op:
   preconditioned CG (block-Jacobi), with S·x evaluated via two
   segment-sums per iteration; S is never materialized, so global BA over
   thousands of keyframes needs O(C·36) memory instead of O(C^2·36),
-- LM damping loop in `lax.while_loop`-free host iteration calling one jitted
-  `lm_step` (compile once per problem shape; shapes are padded to powers
-  of two by `BundleAdjuster`).
+- LM damping loop fully device-side (`ba_solve`: init + `lax.while_loop`
+  over evaluate-once iterations, convergence exit included) — one dispatch
+  and one host sync per solve; shapes are padded to geometric buckets by
+  `BundleAdjuster` so compiles stay logarithmic over a growing sequence.
 
 Window semantics match the reference (ref `src/bundle_adjuster.cpp:39-133`):
 cameras parameterized as world->camera pose6, first camera in the window
@@ -339,30 +340,34 @@ class LMCarry(NamedTuple):
     b_p: jnp.ndarray
 
 
-def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None):
+def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
+                 axis_name=None):
     H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
-        prob, cfg.huber_delta, None, dense_slots
+        prob, cfg.huber_delta, axis_name, dense_slots
     )
     return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
                    H_cc, H_pp, W, b_c, b_p)
 
 
-def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None):
+def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
+                      axis_name=None):
     """One evaluate-once LM iteration (single-device fast path).
 
     Returns (new_carry, accepted, cost_before, cost_after). The accept
     decisions and damping schedule are identical to lm_step_impl — the
     trial cost here comes from the SAME whitened-residual pass that also
-    produces the trial normal equations.
+    produces the trial normal equations. With `axis_name` this runs inside
+    shard_map: the carry's W/obs arrays are per-device shards and the
+    reductions psum over the mesh (parallel/dist_ba.py).
     """
     prob = carry.prob
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
-        carry.lam, cfg, None, dense_slots,
+        carry.lam, cfg, axis_name, dense_slots,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
     H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
-        prob_try, cfg.huber_delta, None, dense_slots
+        prob_try, cfg.huber_delta, axis_name, dense_slots
     )
 
     accept = cost_try < carry.cost
@@ -387,6 +392,46 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None):
 
 lm_init = jax.jit(lm_init_impl, static_argnames=("cfg",))
 lm_iteration = jax.jit(lm_iteration_impl, static_argnames=("cfg",))
+
+
+def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
+                  dense_slots=None, axis_name=None):
+    """Full LM solve in ONE device program: init + `lax.while_loop` over
+    evaluate-once iterations with the reference's convergence exit (relative
+    cost decrease < function_tolerance on an accepted step, the Ceres
+    default semantics; ref `src/bundle_adjuster.cpp:13-36` caps iterations
+    and wall time, `src/params.h:34`).
+
+    The host loop in BundleAdjuster previously synced per iteration to test
+    convergence — on a remote-attached TPU each sync is a full transport
+    round trip (~30-45 ms), dwarfing the ~40 ms of actual device work in a
+    50-iteration solve. This runs the whole damping schedule device-side;
+    the host reads back once. Returns (carry, iterations_run, cost_initial).
+    """
+    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name)
+    cost_init = carry0.cost
+
+    def cond(state):
+        _, it, converged = state
+        return (it < max_iters) & ~converged
+
+    def body(state):
+        carry, it, _ = state
+        new_carry, accepted, c0, c1 = lm_iteration_impl(carry, cfg,
+                                                        dense_slots,
+                                                        axis_name)
+        converged = accepted & (c0 > 0) & (
+            (c0 - c1) < cfg.function_tolerance * c0
+        )
+        return new_carry, it + 1, converged
+
+    carry, iters, _ = jax.lax.while_loop(
+        cond, body, (carry0, jnp.int32(0), jnp.asarray(False))
+    )
+    return carry, iters, cost_init
+
+
+ba_solve = jax.jit(ba_solve_impl, static_argnames=("cfg", "axis_name"))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:
@@ -495,18 +540,11 @@ class BundleAdjuster:
                 )
 
         iters = max_iterations or cfg.max_iterations
-        carry = lm_init(prob, cfg, dense_slots=dense_slots)
-        cost_first = cost_last = None
-        for it in range(iters):
-            carry, accepted, c0, c1 = lm_iteration(
-                carry, cfg, dense_slots=dense_slots
-            )
-            c0f, c1f = float(c0), float(c1)
-            if cost_first is None:
-                cost_first = c0f
-            cost_last = min(c0f, c1f) if bool(accepted) else c0f
-            if bool(accepted) and c0f > 0 and (c0f - c1f) < cfg.function_tolerance * c0f:
-                break
+        # Entire LM schedule in one device program — a single host sync per
+        # solve instead of one per iteration (see ba_solve_impl docstring).
+        carry, n_iters, cost_init = ba_solve(
+            prob, jnp.int32(iters), cfg, dense_slots=dense_slots
+        )
 
         # Write back: pose6 (world->camera) -> camera-to-world matrices.
         cam_world_new = np.asarray(
@@ -516,9 +554,9 @@ class BundleAdjuster:
             problem, cam_world_new, np.asarray(carry.prob.points[:P_real])
         )
         self.last_stats = {
-            "iterations": it + 1,
-            "cost_initial": cost_first,
-            "cost_final": cost_last,
+            "iterations": int(n_iters),
+            "cost_initial": float(cost_init),
+            "cost_final": float(carry.cost),
             "num_cams": C,
             "num_points": P_real,
             "num_obs": n_obs,

@@ -27,9 +27,22 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from stereo_orb_slam_tpu.backend.ba import BAProblem, lm_step_impl
+from stereo_orb_slam_tpu.backend.ba import (
+    BAProblem, LMCarry, ba_solve_impl, lm_step_impl,
+)
 from stereo_orb_slam_tpu.config import BAConfig
 from stereo_orb_slam_tpu.parallel.mesh import OBS_AXIS
+
+
+def _prob_specs(axis_name: str):
+    obs_spec = P(axis_name)
+    rep = P()
+    return BAProblem(
+        pose6=rep, points=rep,
+        obs_cam=obs_spec, obs_point=obs_spec, obs_uv=obs_spec,
+        obs_weight=obs_spec,
+        cam_mask=rep, point_mask=rep, P_l=rep, P_r=rep,
+    )
 
 
 def sharded_lm_step(mesh: Mesh, cfg: BAConfig, axis_name: str = OBS_AXIS):
@@ -38,15 +51,8 @@ def sharded_lm_step(mesh: Mesh, cfg: BAConfig, axis_name: str = OBS_AXIS):
     The returned function has the same signature as backend.ba.lm_step
     minus the cfg argument: (prob, lam) -> (prob', lam', accepted, c0, c1).
     """
-    obs_spec = P(axis_name)
     rep = P()
-
-    prob_specs = BAProblem(
-        pose6=rep, points=rep,
-        obs_cam=obs_spec, obs_point=obs_spec, obs_uv=obs_spec,
-        obs_weight=obs_spec,
-        cam_mask=rep, point_mask=rep, P_l=rep, P_r=rep,
-    )
+    prob_specs = _prob_specs(axis_name)
 
     def step(prob, lam):
         return lm_step_impl(prob, lam, cfg, axis_name=axis_name)
@@ -58,6 +64,33 @@ def sharded_lm_step(mesh: Mesh, cfg: BAConfig, axis_name: str = OBS_AXIS):
         # Outputs: updated replicated state + replicated scalars; the obs
         # arrays pass through still sharded.
         out_specs=(prob_specs, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_ba_solve(mesh: Mesh, cfg: BAConfig, axis_name: str = OBS_AXIS):
+    """Build a jitted FULL LM solve (init + while_loop + convergence exit,
+    backend.ba.ba_solve_impl) under shard_map: one dispatch and one host
+    sync per distributed solve instead of one per iteration. Signature:
+    (prob, max_iters) -> (carry, iterations_run, cost_initial); the carry's
+    W rides sharded over observations, everything else replicated."""
+    rep = P()
+    prob_specs = _prob_specs(axis_name)
+    obs_spec = P(axis_name)
+    carry_specs = LMCarry(
+        prob=prob_specs, lam=rep, cost=rep,
+        H_cc=rep, H_pp=rep, W=obs_spec, b_c=rep, b_p=rep,
+    )
+
+    def solve(prob, max_iters):
+        return ba_solve_impl(prob, max_iters, cfg, axis_name=axis_name)
+
+    sharded = shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(prob_specs, rep),
+        out_specs=(carry_specs, rep, rep),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -78,6 +111,7 @@ class DistributedBundleAdjuster:
         self._single = BundleAdjuster(world, rig, self.cfg)
         self.world = world
         self._step = sharded_lm_step(mesh, self.cfg)
+        self._solve = sharded_ba_solve(mesh, self.cfg)
         self.last_stats = {}
 
     def optimize(self, start_frame: int, end_frame: int,
@@ -134,24 +168,20 @@ class DistributedBundleAdjuster:
 
         cfg = self.cfg
         iters = max_iterations or cfg.max_iterations
-        lam = jnp.float32(cfg.lm_lambda_init)
-        cost_first = cost_last = None
-        it = 0
-        for it in range(iters):
-            prob, lam, accepted, c0, c1 = self._step(prob, lam)
-            c0f, c1f = float(c0), float(c1)
-            if cost_first is None:
-                cost_first = c0f
-            cost_last = min(c0f, c1f) if bool(accepted) else c0f
-            if bool(accepted) and c0f > 0 and (c0f - c1f) < cfg.function_tolerance * c0f:
-                break
+        # One sharded dispatch for the whole LM schedule (host syncs once;
+        # see backend.ba.ba_solve_impl).
+        carry, n_iters, cost_init = self._solve(prob, jnp.int32(iters))
 
-        cam_world_new = np.asarray(se3.inverse(se3.pose6_to_matrix(prob.pose6)))
-        world.ba_writeback(problem, cam_world_new, np.asarray(prob.points[:P_real]))
+        cam_world_new = np.asarray(
+            se3.inverse(se3.pose6_to_matrix(carry.prob.pose6))
+        )
+        world.ba_writeback(
+            problem, cam_world_new, np.asarray(carry.prob.points[:P_real])
+        )
         self.last_stats = {
-            "iterations": it + 1,
-            "cost_initial": cost_first,
-            "cost_final": cost_last,
+            "iterations": int(n_iters),
+            "cost_initial": float(cost_init),
+            "cost_final": float(carry.cost),
             "num_cams": C,
             "num_points": P_real,
             "num_obs": n_obs,

@@ -290,3 +290,41 @@ def test_evaluate_once_lm_matches_two_pass(rng):
     np.testing.assert_allclose(
         np.asarray(prob.pose6), np.asarray(carry.prob.pose6), atol=1e-5
     )
+
+
+def test_ba_solve_matches_host_loop(rng):
+    """The single-dispatch device-side LM loop (ba.ba_solve) must reproduce
+    the host-driven lm_init/lm_iteration sequence: same iteration count
+    (convergence exit included) and same final cost/params."""
+    world, rig, *_ = synth_ba_world(rng, n_frames=5, n_points=100,
+                                    noise_px=0.8)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.15, (world.num_points, 3)
+    ).astype(np.float32)
+    adj = ba.BundleAdjuster(world, rig)
+    _, flat, n_obs, P_pad = _flat_prob_from_world(world, adj)
+
+    cfg = BAConfig(cg_iterations=200, cg_tol=1e-12)
+    max_iters = 12
+
+    carry = ba.lm_init(flat, cfg)
+    host_iters = 0
+    for _ in range(max_iters):
+        carry, acc, c0, c1 = ba.lm_iteration(carry, cfg)
+        host_iters += 1
+        if (bool(acc) and float(c0) > 0
+                and (float(c0) - float(c1)) < cfg.function_tolerance * float(c0)):
+            break
+
+    dcarry, dev_iters, cost_init = ba.ba_solve(flat, jnp.int32(max_iters), cfg)
+    assert int(dev_iters) == host_iters
+    assert float(cost_init) > float(dcarry.cost)  # solve reduced the cost
+    np.testing.assert_allclose(float(dcarry.cost), float(carry.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dcarry.prob.pose6), np.asarray(carry.prob.pose6), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dcarry.prob.points), np.asarray(carry.prob.points),
+        atol=1e-4
+    )
