@@ -190,14 +190,23 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
         P_l=jnp.asarray(P_l), P_r=jnp.asarray(P_r),
     )
     from stereo_orb_slam_tpu.backend import schur_dense
-    from stereo_orb_slam_tpu.backend.ba import lm_init, lm_iteration
+    from stereo_orb_slam_tpu.backend.ba import ba_solve
 
     sto, scam, smask, K = schur_dense.group_slots(obs_point, obs_cam, P, O)
     slots = (jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask))
-    carry = lm_init(prob, cfg, dense_slots=slots)
+
+    # Production path: the WHOLE LM schedule is one device program
+    # (ba_solve: init + while_loop over evaluate-once iterations).
+    # function_tolerance=0 disables the convergence exit so the loop runs
+    # exactly `chain` iterations per dispatch; it/s = chain / device time.
+    cfg_bench = BAConfig(cg_iterations=cfg.cg_iterations,
+                         function_tolerance=0.0)
+    chain = 20
     for _ in range(n_warm):
-        carry2, *_ = lm_iteration(carry, cfg, dense_slots=slots)
+        carry2, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg_bench,
+                                   dense_slots=slots)
     jax.block_until_ready(carry2.prob.pose6)
+    assert int(n_it) == chain
 
     # Same sync-differencing methodology as bench_frontend.
     noop = jax.jit(lambda x: x * 1.0)
@@ -214,16 +223,15 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
         return float(np.min(ts[1:]))
 
     rtt = sync_min(lambda i: noop(zz), max(6, n_iter))
-    state = {"carry": carry}
 
     def it(i):
-        c2, *_ = lm_iteration(state["carry"], cfg, dense_slots=slots)
-        state["carry"] = c2
+        c2, *_ = ba_solve(prob, jnp.int32(chain), cfg_bench,
+                          dense_slots=slots)
         return c2.prob.pose6
 
     total = sync_min(it, n_iter)
     device_s = max(total - rtt, 1e-5)
-    return 1.0 / device_s, {"C": C, "P": P, "O": O}
+    return chain / device_s, {"C": C, "P": P, "O": O}
 
 
 def main():

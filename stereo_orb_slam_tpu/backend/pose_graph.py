@@ -184,6 +184,27 @@ def gn_step_impl(prob: PoseGraphProblem, cfg: PoseGraphConfig, axis_name=None):
 gn_step = jax.jit(gn_step_impl, static_argnames=("cfg", "axis_name"))
 
 
+def pg_solve_impl(prob: PoseGraphProblem, cfg: PoseGraphConfig,
+                  axis_name=None):
+    """All `cfg.iterations` GN iterations in ONE device program (the
+    reference runs a fixed 10 g2o iterations with no convergence exit,
+    ref pose_graph_optimizer.cpp:68-69, so a `lax.scan` suffices). One host
+    sync per pose-graph solve instead of one per iteration — the same
+    transport-latency argument as backend.ba.ba_solve_impl.
+
+    Returns (final problem, cost_initial, cost_final)."""
+
+    def body(p, _):
+        p_new, c = gn_step_impl(p, cfg, axis_name)
+        return p_new, c
+
+    prob_f, costs = jax.lax.scan(body, prob, None, length=cfg.iterations)
+    return prob_f, costs[0], costs[-1]
+
+
+pg_solve = jax.jit(pg_solve_impl, static_argnames=("cfg", "axis_name"))
+
+
 class PoseGraphOptimizer:
     """Host orchestration over the WorldMap.
 
@@ -266,12 +287,9 @@ class PoseGraphOptimizer:
             vertex_mask=jnp.asarray(vmask),
         )
 
-        cost0 = cost = None
-        for _ in range(self.cfg.iterations):
-            prob, c = gn_step(prob, self.cfg)
-            if cost0 is None:
-                cost0 = float(c)
-            cost = float(c)
+        # All GN iterations in one dispatch (see pg_solve_impl).
+        prob, c0, c_last = pg_solve(prob, self.cfg)
+        cost0, cost = float(c0), float(c_last)
 
         new_poses = np.asarray(prob.poses)
         world.set_global_poses(np.arange(n, dtype=np.int32), new_poses)

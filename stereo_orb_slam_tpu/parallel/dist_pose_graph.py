@@ -20,19 +20,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 from stereo_orb_slam_tpu.backend.pose_graph import (
     PoseGraphProblem,
     gn_step_impl,
+    pg_solve_impl,
 )
 from stereo_orb_slam_tpu.config import PoseGraphConfig
 from stereo_orb_slam_tpu.parallel.mesh import OBS_AXIS
 
 
-def sharded_gn_step(mesh: Mesh, cfg: PoseGraphConfig,
-                    axis_name: str = OBS_AXIS):
+def _specs(axis_name: str):
     edge = P(axis_name)
     rep = P()
-    specs = PoseGraphProblem(
+    return PoseGraphProblem(
         poses=rep, edge_a=edge, edge_b=edge, edge_meas=edge,
         edge_weight=edge, vertex_mask=rep,
     )
+
+
+def sharded_gn_step(mesh: Mesh, cfg: PoseGraphConfig,
+                    axis_name: str = OBS_AXIS):
+    specs, rep = _specs(axis_name), P()
 
     def step(prob):
         return gn_step_impl(prob, cfg, axis_name=axis_name)
@@ -41,6 +46,23 @@ def sharded_gn_step(mesh: Mesh, cfg: PoseGraphConfig,
         shard_map(
             step, mesh=mesh, in_specs=(specs,),
             out_specs=(specs, rep), check_vma=False,
+        )
+    )
+
+
+def sharded_pg_solve(mesh: Mesh, cfg: PoseGraphConfig,
+                     axis_name: str = OBS_AXIS):
+    """All GN iterations in one sharded dispatch (backend.pose_graph
+    .pg_solve_impl under shard_map): (prob) -> (prob, cost0, cost_final)."""
+    specs, rep = _specs(axis_name), P()
+
+    def run(prob):
+        return pg_solve_impl(prob, cfg, axis_name=axis_name)
+
+    return jax.jit(
+        shard_map(
+            run, mesh=mesh, in_specs=(specs,),
+            out_specs=(specs, rep, rep), check_vma=False,
         )
     )
 
@@ -75,9 +97,6 @@ def solve(poses, edge_a, edge_b, edge_meas, mesh: Mesh,
         edge_meas=jnp.asarray(em), edge_weight=jnp.asarray(ew),
         vertex_mask=jnp.asarray(vmask),
     )
-    step = sharded_gn_step(mesh, cfg)
-    costs = []
-    for _ in range(cfg.iterations):
-        prob, c = step(prob)
-        costs.append(float(c))
-    return np.asarray(prob.poses), costs
+    run = sharded_pg_solve(mesh, cfg)
+    prob, c0, c_last = run(prob)  # one dispatch, one host sync
+    return np.asarray(prob.poses), [float(c0), float(c_last)]
