@@ -6,19 +6,20 @@ stereo pairs (376x1241) through the FULL per-frame pipeline — Shi-Tomasi
 detection, ORB description, MXU stereo+temporal Hamming matching, rectified
 triangulation, 128-hypothesis batched RANSAC.
 
-Baseline: the reference publishes no numbers (BASELINE.md) and is not
-buildable here (its g2o/DBoW2 binaries and the ransac_solver submodule are
-absent), so vs_baseline uses the documented estimate of the reference's CPU
-front end at 10 fps (goodFeaturesToTrack + cornerSubPix(40 iters) + ORB +
-two O(N^2) brute-force Hamming kNNs at 1000 features + up to 100 sequential
-RANSAC iterations, single-threaded — ~100 ms/frame on a desktop core, per
-the per-frame ms prints it was built around, ref src/slam.cpp:136-138).
+Baseline: the reference publishes no numbers (BASELINE.md) and the binary is
+not buildable here (its g2o/DBoW2 binaries and the ransac_solver submodule
+are absent), but its entire front end + BA envelope was MEASURED on this
+machine with cv2 5.0 / NumPy / scipy.sparse — see
+benchmarks/reference_baseline.py, results in BASELINE_MEASURED.json.
+vs_baseline uses those measured numbers (fallback 10 fps estimate if the
+file is missing).
 
 Also measured (reported in the JSON extras): BA LM iterations/sec on a
-global-BA-sized Schur/PCG problem, and matcher throughput.
+global-BA-sized Schur/PCG problem, and end-to-end live SLAM fps.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -28,13 +29,30 @@ from stereo_orb_slam_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def synth_pair(rng, h=376, w=1241, shift=6):
-    base = rng.uniform(0, 255, (h // 8, (w + 64) // 8 + 2)).astype(np.float32)
-    base = np.kron(base, np.ones((8, 8), np.float32))[:h, : w + 64]
-    img_l = base[:, 32 : 32 + w]
-    img_r = base[:, 32 - shift : 32 - shift + w]  # uniform disparity
-    img_t = base[:, 36 : 36 + w]  # temporal shift
-    return img_l, img_r, img_t
+def synth_sequence(rng, n_frames, h=376, w=1241, shift=6, step=4):
+    """Synthetic stereo SEQUENCE over one fixed texture: frame i's left view
+    slides `step` px right; the right view shifts content LEFT by `shift` px
+    (u_r = u_l - shift => disparity +shift > 0 => valid depth). Consecutive
+    frames overlap, so stereo + temporal matching + RANSAC run on real
+    correspondences. Identical generator to benchmarks/reference_baseline.py
+    so the two benchmarks time the same workload."""
+    span = w + 2 * 32 + shift + step * n_frames
+    base = rng.uniform(0, 255, (h // 8, span // 8 + 2)).astype(np.float32)
+    base = np.kron(base, np.ones((8, 8), np.float32))[:h, :span]
+    out = []
+    for i in range(n_frames):
+        o = 32 + step * i
+        out.append((base[:, o : o + w], base[:, o + shift : o + shift + w]))
+    return out
+
+
+def load_measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
 
 
 def bench_frontend(n_warm=3, n_iter=20):
@@ -58,11 +76,9 @@ def bench_frontend(n_warm=3, n_iter=20):
     rig = camera.StereoRig.create(left, right, rectified=True, baseline=b)
     maxd = jnp.float32(fx * b)  # computed host-side: no device readback
 
-    rng = np.random.default_rng(0)
-    il, ir, it_ = synth_pair(rng)
-    img_l = jnp.asarray(il)
-    img_r = jnp.asarray(ir)
-    img_t = jnp.asarray(it_)
+    seq = synth_sequence(np.random.default_rng(0), 17)
+    img_l = jnp.asarray(seq[0][0])
+    img_r = jnp.asarray(seq[0][1])
     key = jax.random.key(0)
 
     prev = empty_slots(fe.num_features)
@@ -71,12 +87,9 @@ def bench_frontend(n_warm=3, n_iter=20):
                               maxd, fe, rc, True, orb._STEER)
     prev = res.slots
 
-    # Distinct input frames each iteration (defeats any dedup/caching in the
-    # runtime) and chain prev-state like the real tracking loop does.
-    variants = []
-    for i in range(4):
-        il2, ir2, _ = synth_pair(np.random.default_rng(i + 1))
-        variants.append((jnp.asarray(il2), jnp.asarray(ir2)))
+    # A real overlapping sequence: temporal matches + RANSAC operate on true
+    # correspondences, so downstream masks carry realistic occupancy.
+    variants = [(jnp.asarray(a), jnp.asarray(b)) for a, b in seq[1:]]
 
     TRUE = jnp.asarray(True)
 
@@ -238,7 +251,16 @@ def main():
     frontend_fps, ms_per_frame = bench_frontend()
     ba_ips, ba_shape = bench_ba()
 
-    baseline_fps = 10.0  # documented estimate of the reference CPU front end
+    measured = load_measured_baseline()
+    if measured:
+        baseline_fps = measured["frontend_fps"]
+        baseline_ba = measured.get("ba_lm_iterations_per_sec")
+        note = (f"reference CPU pipeline MEASURED via cv2 {measured['cv2_version']}"
+                f" on this machine: {baseline_fps} fps frontend, "
+                f"{baseline_ba} BA LM it/s (benchmarks/reference_baseline.py)")
+    else:
+        baseline_fps, baseline_ba = 10.0, None
+        note = "reference CPU frontend estimated at 10 fps (BASELINE_MEASURED.json absent)"
     result = {
         "metric": "frontend_frames_per_sec_per_chip",
         "value": round(frontend_fps, 2),
@@ -246,10 +268,11 @@ def main():
         "vs_baseline": round(frontend_fps / baseline_fps, 2),
         "frame_ms": round(ms_per_frame, 2),
         "ba_lm_iterations_per_sec": round(ba_ips, 2),
+        "ba_vs_baseline": (round(ba_ips / baseline_ba, 2) if baseline_ba else None),
         "ba_problem": ba_shape,
         "image_size": "376x1241",
         "num_features": 1024,
-        "baseline_note": "reference CPU frontend estimated at 10 fps (not buildable: absent submodule + prebuilt g2o)",
+        "baseline_note": note,
     }
     print(json.dumps(result))
 
