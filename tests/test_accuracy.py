@@ -1,0 +1,155 @@
+"""Realistic-motion accuracy harness (VERDICT round-1 item 3).
+
+KITTI-like motion — forward-dominant translation with yaw, depth-varying
+landmarks, image noise — rendered by tests/synth.py::CloudScene and driven
+through the real front end / SLAM system, with ATE/RPE asserted against
+exact ground truth. Also proves pose-graph loop closure REDUCES trajectory
+error under injected odometry drift (the entire point of C11+C12, ref
+`src/pose_graph_optimizer.cpp:72-95`).
+
+Motion semantics under test match the reference tracker
+(ref `src/visual_odometer.cpp:105-221`): Track() returns X_prev = T @ X_curr
+and the app chains curr_pose @= T (ref src/slam.cpp:141-142).
+"""
+
+import numpy as np
+import pytest
+
+from synth import CloudScene, forward_yaw_trajectory
+
+from stereo_orb_slam_tpu.backend.pose_graph import PoseGraphOptimizer
+from stereo_orb_slam_tpu.config import (
+    FrontendConfig, PoseGraphConfig, RansacConfig, SlamConfig,
+)
+from stereo_orb_slam_tpu.frontend.odometer import VisualOdometer
+from stereo_orb_slam_tpu.utils import evaluate
+from stereo_orb_slam_tpu.worldmap import WorldMap
+
+FE = FrontendConfig(num_features=128)
+RC = RansacConfig(final_model_fitting=True)
+
+
+def _scene(n_frames, yaw_deg=1.5, noise_sigma=0.0, seed=1):
+    traj = forward_yaw_trajectory(n_frames, speed=0.25, yaw_rate_deg=yaw_deg)
+    scene = CloudScene(
+        np.random.default_rng(seed), traj, fx=240.0, baseline=0.6,
+        depth_range=(4.0, 14.0), n_per_anchor=40, anchor_stride=4,
+        noise_sigma=noise_sigma,
+    )
+    return traj, scene
+
+
+def _run_vo(traj, scene):
+    world = WorldMap(feat_slots=FE.num_features)
+    vo = VisualOdometer(world, scene.make_rig(), FE, RC, seed=0)
+    fails = 0
+    for il, ir in scene.render_sequence(traj):
+        vo.track(il, ir)
+        fails += not vo.success
+    return world, fails
+
+
+def test_vo_forward_yaw_ate():
+    """Pure VO on forward+yaw motion: rotation handling through the full
+    rendered front end (detect/describe/match/triangulate/RANSAC)."""
+    traj, scene = _scene(20)
+    world, fails = _run_vo(traj, scene)
+    assert world.num_frames == 20
+    assert fails <= 2
+    est = world.pose_global[: world.num_frames]
+    ate = evaluate.ate_rmse(est, traj[: world.num_frames])
+    t_rpe, r_rpe = evaluate.rpe(est, traj[: world.num_frames])
+    assert ate < 0.35, f"VO ATE {ate:.3f} m over a ~5 m forward+yaw path"
+    assert r_rpe < 0.02, f"VO rotation RPE {r_rpe:.4f} rad"
+    # The trajectory must actually turn: total yaw ~ 19 x 1.5 deg.
+    R_end = est[-1][:3, :3]
+    yaw = np.arctan2(R_end[0, 2], R_end[2, 2])
+    assert np.degrees(yaw) > 15.0, "estimated trajectory failed to yaw"
+
+
+def test_vo_image_noise():
+    """Same motion with additive pixel noise (sigma=3 grey levels). Noise
+    flips marginal descriptor bits on this adversarially blocky texture, so
+    the matching gates are relaxed vs the reference's (30, 0.5) — which
+    would degrade identically here; natural images are smoother."""
+    traj, scene = _scene(14, noise_sigma=3.0)
+    fe = FrontendConfig(num_features=128, match_max_distance=48,
+                        match_ratio=0.65)
+    rc = RansacConfig(final_model_fitting=True, min_pairs=8)
+    world = WorldMap(feat_slots=fe.num_features)
+    vo = VisualOdometer(world, scene.make_rig(), fe, rc, seed=0)
+    fails = 0
+    for il, ir in scene.render_sequence(traj):
+        vo.track(il, ir)
+        fails += not vo.success
+    assert world.num_frames == 14
+    assert fails <= 3
+    ate = evaluate.ate_rmse(
+        world.pose_global[: world.num_frames], traj[: world.num_frames]
+    )
+    assert ate < 0.35, f"noisy VO ATE {ate:.3f} m"
+
+
+def test_slam_ba_forward_yaw_ate():
+    """Full SLAM (per-frame + windowed + final BA) beats the bound the VO
+    path only approaches: the back end must tighten the trajectory."""
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+
+    traj, scene = _scene(24)
+    cfg = SlamConfig().replace(frontend=FE, ransac=RC, refine_interval=8)
+    system = SlamSystem(scene.make_rig(), cfg, vocab=None,
+                        vocab_train_frames=10 ** 9)
+    for il, ir in scene.render_sequence(traj):
+        system.process(il, ir)
+    system.finish()
+    w = system.world
+    assert w.num_frames == 24
+    est = w.pose_global[: w.num_frames]
+    ate = evaluate.ate_rmse(est, traj[: w.num_frames])
+    assert ate < 0.15, f"SLAM ATE {ate:.3f} m over a ~6 m forward+yaw path"
+
+
+def test_pose_graph_closure_reduces_ate():
+    """Drift injection: odometry rel-poses carry a systematic yaw/translation
+    bias, the pose graph gets ONE ground-truth loop edge (first<->last), and
+    the solve must cut ATE by at least 3x (ref pose_graph_optimizer.cpp:72-95
+    writeback semantics)."""
+    rng = np.random.default_rng(7)
+    n = 60
+    traj = forward_yaw_trajectory(n, speed=0.35, yaw_rate_deg=6.0)  # closes a loop
+
+    world = WorldMap()
+    drift_yaw = np.deg2rad(1.0)
+    c, s = np.cos(drift_yaw), np.sin(drift_yaw)
+    R_bias = np.array(
+        [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32
+    )
+    for i in range(n):
+        if i == 0:
+            world.add_frame(np.eye(4, dtype=np.float32))
+            continue
+        rel = np.linalg.inv(traj[i - 1]) @ traj[i]
+        rel = rel.astype(np.float32)
+        rel[:3, :3] = rel[:3, :3] @ R_bias  # systematic drift
+        rel[:3, 3] += rng.normal(0, 0.004, 3).astype(np.float32)
+        world.add_frame(rel)
+
+    est0 = world.pose_global[:n].copy()
+    ate_before = evaluate.ate_rmse(est0, traj)
+    assert ate_before > 0.3, "drift injection should produce visible error"
+
+    # Ground-truth loop measurement: Z = T_dst^-1 T_src for (src=0, dst=n-1).
+    Z_true = (np.linalg.inv(traj[n - 1]) @ traj[0]).astype(np.float32)
+    pgo = PoseGraphOptimizer(
+        world, PoseGraphConfig(),
+        loop_matcher=lambda src, dst: (Z_true, True),
+    )
+    pgo.add_loop_edge(0, n - 1)
+    stats = pgo.optimize(run_global_ba=False)
+    assert stats["num_loop_edges"] == 1
+    assert stats["cost_final"] < stats["cost_initial"]
+
+    ate_after = evaluate.ate_rmse(world.pose_global[:n], traj)
+    assert ate_after < ate_before / 3.0, (
+        f"loop closure must reduce ATE: {ate_before:.3f} -> {ate_after:.3f}"
+    )
