@@ -247,9 +247,71 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
     return chain / device_s, {"C": C, "P": P, "O": O}
 
 
+def bench_e2e_slam(batch=16, warm_batches=3, timed_batches=4,
+                   refine_interval=10, h=376, w=1241, cfg_overrides=None):
+    """End-to-end LIVE SLAM throughput: the real product path.
+
+    Drives SlamSystem.process_batch — front-end scan + consolidated
+    readback + host map bookkeeping + batch BA + windowed BA + BoW
+    query/append + Bayes filter — over KITTI-sized frames on the attached
+    device, measured by wall clock (host work and every transport round
+    trip included). This is the number the reference's ~17 fps CPU loop
+    (ref src/slam.cpp:108-148) is actually competing against.
+    """
+    import jax
+
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+    from stereo_orb_slam_tpu.config import SlamConfig
+    from stereo_orb_slam_tpu.geometry import camera
+    from stereo_orb_slam_tpu.loop import OrbVocabulary
+
+    fx, cx, cy, b = 718.856, 607.1928, 185.2157, 0.5371657
+    left = camera.Pinhole.create(fx, fx, cx, cy)
+    pose_r = np.eye(4, dtype=np.float32)
+    pose_r[0, 3] = b
+    right = camera.Pinhole.create(fx, fx, cx, cy, pose=pose_r)
+    rig = camera.StereoRig.create(left, right, rectified=True, baseline=b)
+
+    n_frames = (warm_batches + timed_batches) * batch
+    seq = synth_sequence(np.random.default_rng(0), n_frames, h=h, w=w)
+
+    # Offline-style vocabulary (contents don't affect throughput; BoW cost
+    # is shape-static). Trained before timing begins.
+    rng = np.random.default_rng(1)
+    corpus = rng.integers(0, 2 ** 32, (8192, 8), dtype=np.uint32)
+    vocab = OrbVocabulary.train(corpus, num_words=1024, iterations=2)
+
+    cfg = SlamConfig().replace(refine_interval=refine_interval,
+                               batch_frames=batch, **(cfg_overrides or {}))
+    system = SlamSystem(rig, cfg, vocab=vocab)
+
+    # The PRODUCT ingestion path: decode/stack/upload on the reader thread
+    # (uint8), overlapped with main-thread compute.
+    from stereo_orb_slam_tpu.io.datasets import DeviceBatchReader
+
+    reader = DeviceBatchReader(seq, batch)
+    t0 = elapsed = None
+    for bi, (dl, dr) in enumerate(reader):
+        if bi == warm_batches:
+            t0 = time.perf_counter()
+        system.process_batch(dl, dr)
+    elapsed = time.perf_counter() - (t0 or time.perf_counter())
+    frames = timed_batches * batch
+    return frames / elapsed, {
+        "frames_timed": frames,
+        "batch_frames": batch,
+        "tracked_frames": system.world.num_frames,
+        "stage_ms_per_frame": {
+            k: round(v * 1e3 / max(system.frame_index, 1), 2)
+            for k, v in system.timers.totals.items()
+        },
+    }
+
+
 def main():
     frontend_fps, ms_per_frame = bench_frontend()
     ba_ips, ba_shape = bench_ba()
+    e2e_fps, e2e_info = bench_e2e_slam()
 
     measured = load_measured_baseline()
     if measured:
@@ -262,10 +324,13 @@ def main():
         baseline_fps, baseline_ba = 10.0, None
         note = "reference CPU frontend estimated at 10 fps (BASELINE_MEASURED.json absent)"
     result = {
-        "metric": "frontend_frames_per_sec_per_chip",
-        "value": round(frontend_fps, 2),
+        "metric": "e2e_slam_frames_per_sec_per_chip",
+        "value": round(e2e_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(frontend_fps / baseline_fps, 2),
+        "vs_baseline": round(e2e_fps / baseline_fps, 2),
+        "e2e_info": e2e_info,
+        "frontend_fps": round(frontend_fps, 2),
+        "frontend_vs_baseline": round(frontend_fps / baseline_fps, 2),
         "frame_ms": round(ms_per_frame, 2),
         "ba_lm_iterations_per_sec": round(ba_ips, 2),
         "ba_vs_baseline": (round(ba_ips / baseline_ba, 2) if baseline_ba else None),

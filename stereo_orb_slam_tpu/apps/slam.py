@@ -187,11 +187,14 @@ class SlamSystem:
                 with self.timers.time("ba.window"):
                     self.ba.optimize(max(0, n - 2 * cfg.refine_interval), n)
 
-        # Loop detection on the latest recorded frame's features
-        # (ref slam.cpp:131-134; Query before Track so the DB excludes the
-        # current frame).
+        # Loop detection on the current frame's features (ref
+        # slam.cpp:131-134; Query before Track so the DB excludes the current
+        # frame). Deliberate fix vs the reference: frames the tracker did NOT
+        # record are skipped — the reference re-queries the stale previous
+        # container there AND still grows the database, so database entry ids
+        # silently drift off frame ids (ref src/loop_detector.cpp:58).
         feats = self.vo.current_frame_features
-        if feats is not None and self.world.num_frames > 0:
+        if self.vo.frame_recorded and feats is not None:
             self._maybe_train_vocab()
             if self.loop is not None:
                 desc, _, _, valid = feats
@@ -202,6 +205,53 @@ class SlamSystem:
         self.curr_pose = self.curr_pose @ trans
         self.frame_index += 1
         return trans
+
+    def process_batch(self, imgs_l, imgs_r) -> list:
+        """K frames through the full pipeline with O(1) device dispatches.
+
+        The TPU-native shape of the hot loop at ref slam.cpp:108-148: one
+        front-end scan dispatch + one consolidated readback (track_batch),
+        one BoW score/append dispatch (LoopDetector.process_batch), and one
+        BA solve over the batch window. Per-frame Bayes filtering, map
+        bookkeeping, and pose chaining replay on host from the batch
+        readbacks, so the semantics per frame match process().
+
+        Deliberate deviation (documented): the reference's per-frame BA
+        (landmark-only, single fixed pose, ref slam.cpp:123) is replaced by
+        ONE solve over the batch's frames — the window's first pose is held
+        fixed and the K new poses + landmarks refine jointly, which is at
+        least as strong a refinement at 1/K the dispatch cost.
+        """
+        cfg = self.cfg
+        k = len(imgs_l)
+        n_before = self.world.num_frames
+        with self.timers.time("vo.track"):
+            trans_list = self.vo.track_batch(imgs_l, imgs_r)
+
+        n = self.world.num_frames
+        if n > n_before and n >= 2:
+            if cfg.per_frame_ba:
+                with self.timers.time("ba.batch"):
+                    self.ba.optimize(max(0, n_before - 1), n,
+                                     max_iterations=cfg.live_ba_iterations)
+            if (n // cfg.refine_interval) > (n_before // cfg.refine_interval):
+                with self.timers.time("ba.window"):
+                    self.ba.optimize(max(0, n - 2 * cfg.refine_interval), n,
+                                     max_iterations=cfg.live_ba_iterations)
+
+        if n > n_before:
+            self._maybe_train_vocab()
+        if self.loop is not None and n > n_before:
+            slots = self.vo.last_batch.slots
+            with self.timers.time("loop.query"):
+                self.loop.process_batch(
+                    slots.desc, slots.valid, self.vo.last_batch_recorded
+                )
+
+        for trans in trans_list:
+            self.curr_pose = self.curr_pose @ trans
+        self.frame_index += k
+        return trans_list
 
     def finish(self) -> dict:
         """End-of-sequence: pose graph + final global BA (ref slam.cpp:152-156)."""
@@ -257,11 +307,18 @@ def main(argv=None):
     ap.add_argument("--folder", required=True)
     ap.add_argument("--camera", required=True, help="calibration file")
     ap.add_argument("--refine_interval", type=int, default=10)
+    ap.add_argument("--batch_frames", type=int, default=1,
+                    help="frames per device dispatch (TPU live-loop batching)")
     ap.add_argument("--output_suffix", default="slam")
     ap.add_argument("--output_dir", default=".")
     ap.add_argument("--vocab", default=None, help="vocabulary .npz (optional)")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
+    ap.add_argument("--debug_viz", default=None, metavar="DIR",
+                    help="write Stereo/Temporal/Tracking debug PNGs "
+                         "(the reference's three imshow windows, "
+                         "ref visual_odometer.cpp:31-33)")
+    ap.add_argument("--debug_viz_every", type=int, default=10)
     args = ap.parse_args(argv)
 
     pairs = datasets.load_dataset(args.dataset, args.folder)
@@ -270,17 +327,48 @@ def main(argv=None):
     rig = calib.load_camera(args.camera)
     vocab = OrbVocabulary.load(args.vocab) if args.vocab else None
     cfg = SlamConfig().replace(
-        refine_interval=args.refine_interval, output_suffix=args.output_suffix
+        refine_interval=args.refine_interval, output_suffix=args.output_suffix,
+        batch_frames=max(1, args.batch_frames),
     )
     system = SlamSystem(rig, cfg, vocab=vocab)
 
-    reader = datasets.PrefetchingReader(pairs)
     t_start = time.perf_counter()
-    for i, (img_l, img_r) in enumerate(reader):
-        t0 = time.perf_counter()
-        system.process(img_l, img_r)
-        dt = (time.perf_counter() - t0) * 1e3
-        slog.info(f"frame #{i}: {dt:.1f} ms")
+    if cfg.batch_frames > 1:
+        # Device-prefetching reader: decode + uint8 stack + upload happen on
+        # the reader thread, overlapping the main thread's compute.
+        breader = datasets.DeviceBatchReader(pairs, cfg.batch_frames)
+        i = 0
+        for dl, dr in breader:
+            t0 = time.perf_counter()
+            system.process_batch(dl, dr)
+            dt = (time.perf_counter() - t0) * 1e3
+            k = int(dl.shape[0])
+            slog.info(
+                f"frames #{i}-{i + k - 1}: {dt:.1f} ms "
+                f"({dt / k:.1f} ms/frame)"
+            )
+            i += k
+        for img_l, img_r in breader.remainder:
+            system.process(img_l, img_r)
+    else:
+        reader = datasets.PrefetchingReader(pairs)
+        prev_img, prev_slots = None, None
+        for i, (img_l, img_r) in enumerate(reader):
+            if args.debug_viz:
+                prev_slots = system.vo.prev
+            t0 = time.perf_counter()
+            system.process(img_l, img_r)
+            dt = (time.perf_counter() - t0) * 1e3
+            slog.info(f"frame #{i}: {dt:.1f} ms")
+            if args.debug_viz and i % max(1, args.debug_viz_every) == 0:
+                from stereo_orb_slam_tpu.utils import viz
+
+                viz.save_frame_debug(
+                    args.debug_viz, i, img_l, img_r, system.vo.last_result,
+                    prev_img=prev_img, prev_slots=prev_slots,
+                )
+            if args.debug_viz and system.vo.success:
+                prev_img = img_l
     system.finish()
     total = time.perf_counter() - t_start
 

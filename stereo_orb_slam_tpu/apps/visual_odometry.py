@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--output_suffix", default="vo")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None)
+    ap.add_argument("--debug_viz", default=None, metavar="DIR",
+                    help="write Stereo/Temporal/Tracking debug PNGs "
+                         "(the reference's three imshow windows, "
+                         "ref visual_odometer.cpp:31-33)")
+    ap.add_argument("--debug_viz_every", type=int, default=10)
     args = ap.parse_args(argv)
 
     pairs = datasets.load_dataset(args.dataset, args.folder)
@@ -44,12 +49,24 @@ def main(argv=None):
     reader = datasets.PrefetchingReader(pairs)
     t_start = time.perf_counter()
     times = []
+    prev_img, prev_slots = None, None
     for i, (img_l, img_r) in enumerate(reader):
+        if args.debug_viz:
+            prev_slots = vo.prev  # matching state BEFORE this frame's swap
         t0 = time.perf_counter()
         vo.track(img_l, img_r)
         dt = time.perf_counter() - t0
         times.append(dt)
         slog.info(f"frame #{i}: {dt * 1e3:.1f} ms")
+        if args.debug_viz and i % max(1, args.debug_viz_every) == 0:
+            from stereo_orb_slam_tpu.utils import viz
+
+            viz.save_frame_debug(
+                args.debug_viz, i, img_l, img_r, vo.last_result,
+                prev_img=prev_img, prev_slots=prev_slots,
+            )
+        if args.debug_viz and vo.success:
+            prev_img = img_l  # temporal view matches against the swapped frame
     total = time.perf_counter() - t_start
 
     n = world.num_frames

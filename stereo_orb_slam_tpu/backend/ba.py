@@ -455,6 +455,15 @@ def _pad_to_fine(n: int, mult: int = 256) -> int:
     return p
 
 
+@jax.jit
+def _pack_ba_result(pose6, points, n_iters, cost_init, cost_final):
+    """Flatten the solve outputs into one f32 buffer (single readback)."""
+    return jnp.concatenate([
+        pose6.reshape(-1), points.reshape(-1),
+        jnp.stack([n_iters.astype(jnp.float32), cost_init, cost_final]),
+    ])
+
+
 class BundleAdjuster:
     """Host orchestration: pad, run LM to convergence, write back.
 
@@ -487,10 +496,12 @@ class BundleAdjuster:
         P_pad = _pad_to_fine(P_real)
         O_pad = _pad_to(n_obs)
 
-        pose6 = np.asarray(
-            se3.matrix_to_pose6(
-                se3.inverse(jnp.asarray(problem["cam_world"]))
-            )
+        # Host-side parameterization change (geometry/se3_np.py): going
+        # through the device here costs a relay round trip per solve.
+        from stereo_orb_slam_tpu.geometry import se3_np
+
+        pose6 = se3_np.matrix_to_pose6_np(
+            se3_np.inverse_np(problem["cam_world"])
         )
         points = np.zeros((P_pad, 3), np.float32)
         points[:P_real] = problem["point_xyz"]
@@ -546,17 +557,25 @@ class BundleAdjuster:
             prob, jnp.int32(iters), cfg, dense_slots=dense_slots
         )
 
-        # Write back: pose6 (world->camera) -> camera-to-world matrices.
-        cam_world_new = np.asarray(
-            se3.inverse(se3.pose6_to_matrix(carry.prob.pose6))
-        )
-        self.world.ba_writeback(
-            problem, cam_world_new, np.asarray(carry.prob.points[:P_real])
-        )
+        # ONE consolidated readback: in the relay's synchronous mode every
+        # fetched array pays its own round trip, so pose6/points/scalars are
+        # packed into a single buffer on device first.
+        flat = np.asarray(_pack_ba_result(
+            carry.prob.pose6, carry.prob.points, n_iters, cost_init,
+            carry.cost,
+        ))
+        pose6_new = flat[: C * 6].reshape(C, 6)
+        points_new = flat[C * 6 : C * 6 + P_pad * 3].reshape(P_pad, 3)
+        n_it, c0, c1 = flat[-3:]
+
+        # Write back: pose6 (world->camera) -> camera-to-world matrices
+        # (host math, geometry/se3_np.py).
+        cam_world_new = se3_np.inverse_np(se3_np.pose6_to_matrix_np(pose6_new))
+        self.world.ba_writeback(problem, cam_world_new, points_new[:P_real])
         self.last_stats = {
-            "iterations": int(n_iters),
-            "cost_initial": float(cost_init),
-            "cost_final": float(carry.cost),
+            "iterations": int(n_it),
+            "cost_initial": float(c0),
+            "cost_final": float(c1),
             "num_cams": C,
             "num_points": P_real,
             "num_obs": n_obs,

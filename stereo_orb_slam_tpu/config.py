@@ -189,6 +189,18 @@ class SlamConfig:
     # Per-frame single-pose BA (landmark-only refine since the lone pose is
     # held fixed; ref src/slam.cpp:123 + src/bundle_adjuster.cpp:113).
     per_frame_ba: bool = True
+    # Frames per device dispatch in the live loop (SlamSystem.process_batch):
+    # 1 = exact reference cadence (one Track/BA/Query per frame); >1 batches
+    # K frames into one front-end scan + one BoW dispatch + one BA solve,
+    # which is the TPU transport-efficient shape (each synchronous dispatch
+    # on a remote-attached chip costs a ~30-45 ms round trip).
+    batch_frames: int = 1
+    # LM iteration budget for the live-loop (batched) BA solves. The
+    # reference effectively runs min(50 iterations, 1 s wall) per solve
+    # (ref src/params.h:34,41); windowed refinement converges in far fewer
+    # iterations, and the live loop's latency budget is the binding
+    # constraint on TPU. finish()/global BA keep the full 50.
+    live_ba_iterations: int = 12
     output_suffix: str = "slam"
 
     def replace(self, **kw) -> "SlamConfig":

@@ -190,6 +190,11 @@ def frontend_step(
     inlines them into one fused program — pass `steer` explicitly there so
     the steering table stays a runtime parameter, not an HLO constant.
     """
+    # Accept uint8 (the native camera/PNG dtype) and cast on DEVICE: the
+    # remote-attached relay moves host bytes at ~55 MB/s, so shipping f32
+    # pixels quadruples the live loop's dominant cost for no precision gain.
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     xy_l, v_l, d_l = detect_and_describe(img_l, fe, steer)
     xy_r, v_r, d_r = detect_and_describe(img_r, fe, steer)
     return associate(
@@ -217,6 +222,138 @@ def frontend_step_fused(
     )
 
 
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
+def frontend_chain(
+    imgs_l, imgs_r, prev: FrameSlots, prev_initialized, keys,
+    rig, max_distance, fe: FrontendConfig, rc: RansacConfig, rectified, steer,
+) -> StepResult:
+    """K dependent frame steps in ONE device program (lax.scan).
+
+    The live-loop transport killer is per-frame dispatch+readback: on
+    remote-attached TPUs every synchronous dispatch costs a ~30-45 ms round
+    trip (see CLAUDE.md), so the steady-state tracker processes frames in
+    batches of K — one scan dispatch, then ONE consolidated readback of the
+    K stacked StepResults for host map bookkeeping.
+
+    The scan body replicates the host swap/record state machine of
+    `VisualOdometer._ingest` EXACTLY (ref visual_odometer.cpp:117-121 early
+    return keeps the previous container; :206-217 swap on success only):
+
+      record = num_stereo >= min_stereo_matches
+      swap   = record & (first_frame | ransac_success)
+
+    Returns the per-frame StepResults stacked on a leading K axis.
+    """
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def body(carry, inp):
+        prev, initialized = carry
+        img_l, img_r, key = inp
+        res = frontend_step(
+            img_l, img_r, prev, initialized, key, rig, max_distance,
+            fe, rc, rectified, steer,
+        )
+        record = res.num_stereo >= fe.min_stereo_matches
+        first = jnp.logical_not(initialized)
+        swap = record & (first | res.ransac_success)
+        new_prev = jax.tree.map(
+            lambda new, old: jnp.where(swap, new, old), res.slots, prev,
+        )
+        # _ingest marks the odometer initialized after ANY frame, success
+        # or not (a blank first frame still flips the flag).
+        return (new_prev, jnp.asarray(True)), res
+
+    (_, _), stacked = jax.lax.scan(
+        body, (prev, prev_initialized), (imgs_l, imgs_r, keys)
+    )
+    return stacked
+
+
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
+def frontend_chain_packed(
+    imgs_l, imgs_r, prev, prev_initialized, keys,
+    rig, max_distance, fe: FrontendConfig, rc: RansacConfig, rectified, steer,
+):
+    """frontend_chain + on-device packing of the K StepResults into ONE
+    uint32 buffer [K, 15N+20].
+
+    In the relay's synchronous mode every fetched array pays its own
+    ~35 ms round trip; a StepResult tree has 14 leaves, so device_get cost
+    ~0.5 s per batch. Packing makes the consolidated readback literally one
+    transfer. Layout per frame (N = num_features):
+
+      [0:8N)        desc (8 words/slot)
+      [8N:9N)       prev_idx (int32 bits)
+      [9N:10N)      flags: bit0 = valid, bit1 = tracked
+      [10N:15N)     f32 bits: kp_l (2N), kp_r (2N), pts... see unpack
+      [15N:15N+16)  f32 bits: transform (row-major 4x4)
+      [15N+16:+20)  num_stereo, num_temporal, num_inliers(+1), success
+    """
+    res = frontend_chain(
+        imgs_l, imgs_r, prev, prev_initialized, keys, rig, max_distance,
+        fe, rc, rectified, steer,
+    )
+    k = imgs_l.shape[0]
+    n = fe.num_features
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    flags = (res.slots.valid.astype(jnp.uint32)
+             | (res.tracked.astype(jnp.uint32) << 1))
+    packed = jnp.concatenate([
+        res.slots.desc.reshape(k, 8 * n),
+        bits(res.prev_idx.astype(jnp.int32)).reshape(k, n),
+        flags.reshape(k, n),
+        bits(res.slots.kp_l).reshape(k, 2 * n),
+        bits(res.slots.kp_r).reshape(k, 2 * n),
+        bits(res.slots.pts).reshape(k, 3 * n),
+        bits(res.transform).reshape(k, 16),
+        jnp.stack([
+            res.num_stereo.astype(jnp.uint32),
+            res.num_temporal.astype(jnp.uint32),
+            # num_inliers can be -1 (no solve); bias by +1 to stay unsigned.
+            (res.num_inliers + 1).astype(jnp.uint32),
+            res.ransac_success.astype(jnp.uint32),
+        ], axis=1),
+    ], axis=1)
+    return packed
+
+
+def unpack_step_results(packed: np.ndarray, n: int) -> list:
+    """Host-side inverse of frontend_chain_packed: K numpy StepResults."""
+    k = packed.shape[0]
+    off = 0
+
+    def take(cnt):
+        nonlocal off
+        out = np.ascontiguousarray(packed[:, off : off + cnt])
+        off += cnt
+        return out
+
+    desc = take(8 * n).reshape(k, n, 8)
+    prev_idx = take(n).view(np.int32)
+    flags = take(n)
+    kp_l = take(2 * n).view(np.float32).reshape(k, n, 2)
+    kp_r = take(2 * n).view(np.float32).reshape(k, n, 2)
+    pts = take(3 * n).view(np.float32).reshape(k, n, 3)
+    transform = take(16).view(np.float32).reshape(k, 4, 4)
+    tail = take(4)
+    out = []
+    for j in range(k):
+        out.append(StepResult(
+            slots=FrameSlots(
+                kp_l=kp_l[j], kp_r=kp_r[j], desc=desc[j], pts=pts[j],
+                valid=(flags[j] & 1).astype(bool),
+            ),
+            transform=transform[j],
+            prev_idx=prev_idx[j],
+            tracked=(flags[j] & 2).astype(bool),
+            ransac_success=bool(tail[j, 3]),
+            num_stereo=np.int32(tail[j, 0]),
+            num_temporal=np.int32(tail[j, 1]),
+            num_inliers=np.int32(tail[j, 2]) - 1,
+        ))
+    return out
+
+
 def empty_slots(n: int) -> FrameSlots:
     return FrameSlots(
         kp_l=jnp.zeros((n, 2), jnp.float32),
@@ -242,7 +379,11 @@ class VisualOdometer:
         self.rig = rig
         self.fe = fe or FrontendConfig()
         self.rc = rc or RansacConfig()
-        self.key = jax.random.key(seed)
+        # Per-frame keys are fold_in(base, frame_counter): the single-frame
+        # and batched tracking paths see IDENTICAL randomness, so
+        # track_batch(K frames) is bitwise-equivalent to K track() calls.
+        self._base_key = jax.random.key(seed)
+        self._frame_counter = 0
         # Keep the depth gate as a device scalar: a host readback here
         # permanently degrades dispatch latency on remote-attached TPUs.
         self.max_distance = jnp.asarray(rig.max_sensible_distance(), jnp.float32)
@@ -252,14 +393,22 @@ class VisualOdometer:
         self.prev_global_idx = np.full(self.fe.num_features, -1, np.int64)
         self.initialized = False
         self.success = True
+        self.frame_recorded = False
+        self.last_batch = None            # stacked numpy StepResult of track_batch
+        self.last_batch_recorded = []
         self._current_features = None  # (desc, uv4, point_ids, valid) of latest frame
 
     def track(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
-        """Process one stereo pair; returns the 4x4 relative transform."""
-        self.key, sub = jax.random.split(self.key)
+        """Process one stereo pair; returns the 4x4 relative transform.
+
+        Images may be uint8 or float32 (host or device arrays); uint8 is
+        preferred — it is the native camera dtype and uploads 4x faster.
+        """
+        sub = jax.random.fold_in(self._base_key, self._frame_counter)
+        self._frame_counter += 1
         res = frontend_step_fused(
-            jnp.asarray(img_l, jnp.float32),
-            jnp.asarray(img_r, jnp.float32),
+            jnp.asarray(img_l),
+            jnp.asarray(img_r),
             self.prev,
             jnp.asarray(self.initialized),
             sub,
@@ -272,15 +421,69 @@ class VisualOdometer:
         )
         return self._ingest(res)
 
+    def track_batch(self, imgs_l: np.ndarray, imgs_r: np.ndarray) -> list:
+        """Process K stereo pairs with ONE device dispatch + ONE readback.
+
+        The scan threads prev-state on device (same state machine as
+        `_ingest`); the host then replays map bookkeeping per frame from the
+        consolidated numpy StepResults. Steady-state transport cost is
+        one round trip per K frames instead of ~8 per frame.
+        """
+        k = len(imgs_l)
+        idx = jnp.arange(self._frame_counter, self._frame_counter + k)
+        keys = jax.vmap(lambda i: jax.random.fold_in(self._base_key, i))(idx)
+        self._frame_counter += k
+        packed = frontend_chain_packed(
+            imgs_l if isinstance(imgs_l, jax.Array) else jnp.asarray(imgs_l),
+            imgs_r if isinstance(imgs_r, jax.Array) else jnp.asarray(imgs_r),
+            jax.tree.map(jnp.asarray, self.prev),
+            jnp.asarray(self.initialized),
+            keys,
+            self.rig,
+            self.max_distance,
+            self.fe,
+            self.rc,
+            self.rectified,
+            orb._STEER,
+        )
+        results = unpack_step_results(
+            jax.device_get(packed), self.fe.num_features  # ONE transfer
+        )
+        self.last_batch = StepResult(
+            slots=FrameSlots(
+                kp_l=np.stack([r.slots.kp_l for r in results]),
+                kp_r=np.stack([r.slots.kp_r for r in results]),
+                desc=np.stack([r.slots.desc for r in results]),
+                pts=np.stack([r.slots.pts for r in results]),
+                valid=np.stack([r.slots.valid for r in results]),
+            ),
+            transform=np.stack([r.transform for r in results]),
+            prev_idx=np.stack([r.prev_idx for r in results]),
+            tracked=np.stack([r.tracked for r in results]),
+            ransac_success=np.asarray([r.ransac_success for r in results]),
+            num_stereo=np.asarray([r.num_stereo for r in results]),
+            num_temporal=np.asarray([r.num_temporal for r in results]),
+            num_inliers=np.asarray([r.num_inliers for r in results]),
+        )
+        out, rec = [], []
+        for res in results:
+            out.append(self._ingest(res))
+            rec.append(self.frame_recorded)
+        self.last_batch_recorded = rec
+        return out
+
     def _ingest(self, res: StepResult) -> np.ndarray:
         """Host bookkeeping for one device StepResult (shared by the
         single-sequence path and parallel.multi_seq batched tracking)."""
+        self.last_result = res  # kept for debug visualization (utils/viz.py)
         num_stereo = int(res.num_stereo)
         if num_stereo < self.fe.min_stereo_matches:
             # Reference early-return: frame not recorded (ref :117-121).
             self.success = False
+            self.frame_recorded = False
             self.initialized = True
             return np.eye(4, dtype=np.float32)
+        self.frame_recorded = True
 
         if not self.initialized:
             trans = np.eye(4, dtype=np.float32)

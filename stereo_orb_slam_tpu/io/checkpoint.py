@@ -39,21 +39,33 @@ def restore_world(folder: str) -> WorldMap:
         world.pose_global[i] = G
         prev = G
 
+    # Frame-major observation order, built in ONE vectorized pass (a
+    # per-frame boolean scan would be O(F*O) — minutes on a KITTI-00-sized
+    # dump of 4.5k frames / 2M constraints).
+    order = np.argsort(frame, kind="stable")
+    frame_s, point_s, uv_s, sigma_s = (
+        frame[order], point[order], uv[order], sigma[order]
+    )
+
     if len(points):
         ids = world.add_points(points, 0)
-        # First-observed frame: the first constraint row mentioning the point.
-        first = np.full(len(points), -1, np.int64)
-        for row in range(len(frame) - 1, -1, -1):
-            first[point[row]] = frame[row]
-        world.point_first_frame[ids] = np.where(first >= 0, first, 0)
-        world.point_obs_count[ids] = 0
+        # First-observed frame = first (frame-ordered) row mentioning the
+        # point: keep the first occurrence per point id.
+        first_row = np.full(len(points), -1, np.int64)
+        seen_first = np.unique(point_s, return_index=True)
+        first_row[seen_first[0]] = frame_s[seen_first[1]]
+        world.point_first_frame[ids] = np.where(first_row >= 0, first_row, 0)
+        world.point_obs_count[ids] = np.bincount(
+            point_s, minlength=len(points)
+        ).astype(np.int32)
 
-    # Group observations by frame to keep insertion order frame-major.
-    order = np.argsort(frame, kind="stable")
-    for fid in range(len(poses)):
-        sel = order[frame[order] == fid]
-        if len(sel):
-            world.add_observations(fid, point[sel], uv[sel], sigma[sel])
+    no = len(frame_s)
+    world._ensure_obs(no)
+    world.obs_frame[:no] = frame_s
+    world.obs_point[:no] = point_s
+    world.obs_uv[:no] = uv_s
+    world.obs_sigma[:no] = sigma_s
+    world.num_obs = no
     return world
 
 

@@ -150,6 +150,71 @@ class PrefetchingReader:
 
     def close(self):
         self._stop.set()
+
+
+class DeviceBatchReader:
+    """Background-thread reader that decodes, stacks K-frame uint8 batches,
+    and UPLOADS them to the device from the prefetch thread.
+
+    The remote-attached relay moves host bytes at ~55 MB/s, which makes the
+    image upload the live loop's dominant cost if done synchronously; issuing
+    `jax.device_put` from the reader thread overlaps the transfer with the
+    main thread's compute/readbacks. uint8 (the native camera dtype) keeps
+    the volume 4x below f32; the front end casts on device.
+
+    `pairs` items are either (path_l, path_r) or in-memory (img_l, img_r)
+    arrays. Full K-batches are yielded as device arrays; a trailing
+    remainder (< K frames) is exposed as `self.remainder` host pairs after
+    iteration ends.
+    """
+
+    def __init__(self, pairs, batch: int, depth: int = 2, device=None):
+        import queue
+        import threading
+
+        self.pairs = pairs
+        self.batch = batch
+        self.device = device
+        self.remainder: list = []
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.t = threading.Thread(target=self._worker, daemon=True)
+        self.t.start()
+
+    def _load(self, item):
+        a, b = item
+        if isinstance(a, str):
+            a, b = read_grayscale(a), read_grayscale(b)
+        return (np.clip(a, 0, 255).astype(np.uint8),
+                np.clip(b, 0, 255).astype(np.uint8))
+
+    def _worker(self):
+        import jax
+
+        buf_l, buf_r = [], []
+        for item in self.pairs:
+            if self._stop.is_set():
+                return
+            il, ir = self._load(item)
+            buf_l.append(il)
+            buf_r.append(ir)
+            if len(buf_l) == self.batch:
+                dl = jax.device_put(np.stack(buf_l), self.device)
+                dr = jax.device_put(np.stack(buf_r), self.device)
+                buf_l, buf_r = [], []
+                self.q.put((dl, dr))
+        self.remainder = list(zip(buf_l, buf_r))
+        self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
         try:
             while True:
                 self.q.get_nowait()

@@ -58,15 +58,19 @@ class LoopDetector:
         self.probabilities: list = []  # p trace per query
 
     # ------------------------------------------------------------------ DB ops
+    def _ensure_capacity(self, need: int):
+        cap = self.database.shape[0]
+        if need <= cap:
+            return
+        new_cap = cap
+        while new_cap < need:
+            new_cap *= 2
+        bigger = jnp.zeros((new_cap, self.vocab.num_words), jnp.float32)
+        self.database = bigger.at[:cap].set(self.database)
+
     def track(self, desc, valid):
         """Add the frame's BoW vector to the database (ref :51-54)."""
-        if self.db_size >= self.database.shape[0]:
-            bigger = jnp.zeros(
-                (self.database.shape[0] * 2, self.vocab.num_words), jnp.float32
-            )
-            self.database = bigger.at[: self.db_size].set(
-                self.database[: self.db_size]
-            )
+        self._ensure_capacity(self.db_size + 1)
         vec = self.vocab.bow_vector(jnp.asarray(desc), jnp.asarray(valid))
         self.database = self.database.at[self.db_size].set(vec)
         self.db_size += 1
@@ -76,37 +80,85 @@ class LoopDetector:
 
         Returns (best_id, best_score) or None if the DB is empty.
         """
-        cfg = self.cfg
-        curr_id = self.db_size  # frame about to be tracked
-        adjacent_score = 0.0
-
         if self.db_size == 0:
-            self.matches.append((-1, 0.0))
-            self.frame_scores.append(0.0)
-            self.probabilities.append(self.loop_probability)
-            return None
+            return self._filter_update([])
 
         vec = self.vocab.bow_vector(jnp.asarray(desc), jnp.asarray(valid))
         # Score against the FULL fixed-capacity database and slice on host:
         # slicing the device array to db_size would change the jit shape
         # every frame and recompile the scoring program per frame.
         scores = np.asarray(l1_scores(vec, self.database))[: self.db_size]
-        k = min(cfg.query_size, len(scores))
-        top = np.argsort(-scores)[:k]
-        self.matches.append((int(top[0]), float(scores[top[0]])))
+        k = min(self.cfg.query_size, len(scores))
+        top_ids = np.argsort(-scores)[:k]
+        return self._filter_update(
+            [(int(i), float(scores[i])) for i in top_ids]
+        )
+
+    def process_batch(self, desc_stack, valid_stack, recorded) -> list:
+        """K frames of Query()+Track() with ONE device dispatch.
+
+        desc_stack [K,N,8], valid_stack [K,N], recorded [K] bool (frames the
+        tracker recorded; others are skipped entirely — a deliberate fix of
+        the reference, which queries/tracks a STALE feature container on
+        failed frames and lets database ids drift off frame ids,
+        ref src/slam.cpp:131-134 + src/loop_detector.cpp:58).
+
+        Equivalent to the sequential path: candidate masking inside
+        vocab.batch_score_update reproduces query-before-track ordering.
+        Returns a list of K results ((best_id, best_score) | None).
+        """
+        from stereo_orb_slam_tpu.loop.vocab import batch_score_update
+
+        recorded = np.asarray(recorded, bool)
+        k = len(recorded)
+        self._ensure_capacity(self.db_size + int(recorded.sum()))
+        top_ids, top_scores, new_db = batch_score_update(
+            jnp.asarray(desc_stack), jnp.asarray(valid_stack),
+            jnp.asarray(recorded), self.vocab.centroids, self.vocab.idf,
+            self.database, jnp.int32(self.db_size),
+            query_size=self.cfg.query_size,
+        )
+        self.database = new_db
+        ti = np.asarray(top_ids)      # small consolidated readback
+        ts = np.asarray(top_scores)
+        results = []
+        for j in range(k):
+            if not recorded[j]:
+                results.append(None)
+                continue
+            top = [(int(i), float(s)) for i, s in zip(ti[j], ts[j]) if i >= 0]
+            results.append(self._filter_update(top))
+            self.db_size += 1  # the device program already appended the row
+        return results
+
+    def _filter_update(self, top: list) -> Optional[tuple]:
+        """One Bayes-filter step given the top-k (frame_id, score) candidates
+        for the CURRENT frame (id = db_size). Shared by the sequential and
+        batched query paths (ref :83-151)."""
+        cfg = self.cfg
+        curr_id = self.db_size
+
+        if not top:
+            self.matches.append((-1, 0.0))
+            self.frame_scores.append(0.0)
+            self.probabilities.append(self.loop_probability)
+            return None
+
+        self.matches.append(top[0])
 
         # Adjacent hit -> update the running per-frame score (ref :83-91).
-        for fid in top:
+        adjacent_score = 0.0
+        for fid, score in top:
             if curr_id - fid < cfg.adjacent_frame_thresh:
-                adjacent_score = float(scores[fid])
+                adjacent_score = score
                 break
         self.frame_scores.append(adjacent_score)
 
         # Distant hit -> loop candidate (ref :93-114).
         matched = False
-        for fid in top:
+        for fid, score in top:
             if curr_id - fid > cfg.distant_frame_thresh:
-                p = self._match_probability(int(fid), float(scores[fid]))
+                p = self._match_probability(int(fid), score)
                 if p > cfg.match_probability_thresh:
                     self.loop_probability = min(
                         self.loop_probability * p / cfg.score_probability,
@@ -137,7 +189,7 @@ class LoopDetector:
             self.potential_edges.clear()
 
         self.probabilities.append(self.loop_probability)
-        return (int(top[0]), float(scores[top[0]]))
+        return top[0]
 
     # ------------------------------------------------------------- internals
     def _commit_edges(self):

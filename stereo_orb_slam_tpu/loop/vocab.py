@@ -133,3 +133,83 @@ def l1_scores(query_vec, database):
     query_vec [W], database [F,W] (rows L1-normalized) -> [F] scores in [0,1].
     """
     return jnp.sum(jnp.minimum(query_vec[None, :], database), axis=1)
+
+
+@partial(jax.jit, static_argnames=("query_size",))
+def batch_score_update(desc, valid, recorded, centroids, idf, database,
+                       db_size, query_size: int = 4):
+    """K frames of BoW scoring + database append in ONE device program.
+
+    The live-loop equivalent of K sequential Query()+Track() calls
+    (ref `src/loop_detector.cpp:51-91`), batched so the SLAM hot loop pays
+    one dispatch per K frames instead of two per frame:
+
+      - BoW vectors for all K frames (vmapped tf-idf).
+      - Each recorded frame j scores against every EARLIER recorded frame:
+        the existing database rows [0, db_size) plus recorded batch frames
+        before j (the reference queries before tracking, so the database
+        never contains the current frame, ref src/slam.cpp:131-134).
+      - Recorded frames are appended to the database in order.
+
+    Args:
+      desc:      [K, N, 8] uint32 descriptor banks.
+      valid:     [K, N] bool.
+      recorded:  [K] bool — frames the tracker actually recorded; others are
+                 masked out of both scoring and the append.
+      database:  [cap, W] L1-normalized BoW rows.
+      db_size:   int32 — rows currently occupied.
+
+    Returns:
+      top_ids:    [K, query_size] int32 candidate frame ids (-1 padding),
+                  sorted by score descending. Ids equal world frame ids.
+      top_scores: [K, query_size] float32.
+      new_database: [cap, W] with the recorded frames' rows written.
+    """
+    K = desc.shape[0]
+    cap, W = database.shape
+
+    def one_bow(d, v):
+        word, _ = assign_words(d, v, centroids)
+        w = v.astype(jnp.float32)
+        tf = jax.ops.segment_sum(w, word, num_segments=W)
+        vec = tf * idf
+        return vec / jnp.maximum(jnp.sum(jnp.abs(vec)), 1e-12)
+
+    bows = jax.vmap(one_bow)(desc, valid)  # [K, W]
+
+    rec_i = recorded.astype(jnp.int32)
+    prefix = jnp.cumsum(rec_i) - rec_i          # recorded frames before j
+    rows = db_size + prefix                     # db row / frame id if recorded
+
+    # Scores vs existing database rows, one query at a time (a [K,cap,W]
+    # broadcast would blow VMEM/HBM for large capacities).
+    db_scores = jax.lax.map(lambda b: l1_scores(b, database), bows)  # [K,cap]
+    col = jnp.arange(cap)[None, :]
+    db_valid = col < db_size
+
+    # Intra-batch scores: query j vs earlier recorded batch frame i.
+    cross = jnp.sum(
+        jnp.minimum(bows[:, None, :], bows[None, :, :]), axis=-1
+    )  # [K, K]
+    ii = jnp.arange(K)
+    batch_valid = recorded[None, :] & (ii[None, :] < ii[:, None])
+
+    neg = jnp.float32(-1.0)
+    all_scores = jnp.concatenate(
+        [jnp.where(db_valid, db_scores, neg),
+         jnp.where(batch_valid, cross, neg)], axis=1
+    )  # [K, cap+K]
+    all_ids = jnp.concatenate(
+        [jnp.broadcast_to(col, (K, cap)),
+         jnp.broadcast_to(rows[None, :], (K, K))], axis=1
+    )
+    top_scores, top_idx = jax.lax.top_k(all_scores, query_size)
+    top_ids = jnp.take_along_axis(all_ids, top_idx, axis=1).astype(jnp.int32)
+    top_ids = jnp.where(top_scores >= 0.0, top_ids, -1)
+
+    # Append recorded rows; unrecorded rows are parked on a scratch row that
+    # is sliced off (duplicate-index scatter order is then immaterial).
+    padded = jnp.concatenate([database, jnp.zeros((1, W), database.dtype)], 0)
+    safe_rows = jnp.where(recorded, rows, cap)
+    new_database = padded.at[safe_rows].set(bows)[:cap]
+    return top_ids, top_scores, new_database

@@ -45,6 +45,20 @@ def _prob_specs(axis_name: str):
     )
 
 
+def shard_problem(mesh: Mesh, prob: BAProblem,
+                  axis_name: str = OBS_AXIS) -> BAProblem:
+    """Explicitly place a BAProblem on the mesh: observation arrays
+    partitioned 1/N along the obs axis, pose/point state replicated.
+    (jit would reshard lazily anyway; explicit placement makes the layout
+    inspectable and keeps the timed region free of host->device copies.)"""
+    from jax.sharding import NamedSharding
+
+    specs = _prob_specs(axis_name)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prob, specs
+    )
+
+
 def sharded_lm_step(mesh: Mesh, cfg: BAConfig, axis_name: str = OBS_AXIS):
     """Build a jitted LM step with observations sharded over `mesh`.
 

@@ -97,8 +97,8 @@ class MultiSequenceSLAM:
         # to running that sequence through its own VisualOdometer.
         subs = []
         for vo in self.vos:
-            vo.key, sub = jax.random.split(vo.key)
-            subs.append(sub)
+            subs.append(jax.random.fold_in(vo._base_key, vo._frame_counter))
+            vo._frame_counter += 1
         keys = jnp.stack(subs)
         il = jnp.asarray(imgs_l, jnp.float32)
         ir = jnp.asarray(imgs_r, jnp.float32)

@@ -29,16 +29,53 @@ from __future__ import annotations
 
 import numpy as np
 
-from stereo_orb_slam_tpu.geometry import se3 as _se3_mod
-
-import jax.numpy as jnp
-
 
 def _np_normalize_rot(T: np.ndarray) -> np.ndarray:
-    """Quaternion-roundtrip renormalization (ref src/math_utils.h:6-10)."""
-    out = np.asarray(
-        _se3_mod.normalize_pose(jnp.asarray(T.astype(np.float32)))
-    )
+    """Quaternion-roundtrip renormalization (ref src/math_utils.h:6-10).
+
+    PURE NumPy mirror of geometry/se3.py normalize_pose: the world map is
+    host state and this runs on every add_frame / pose writeback — routing
+    it through a device dispatch costs a ~35 ms relay round trip per call
+    in the live loop (the round trips, not the math, dominated the round-1
+    ingest path)."""
+    T = np.asarray(T, np.float32)
+    R = T[:3, :3].astype(np.float32)
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    # Shepperd: pick the best-conditioned quaternion construction.
+    cand = np.array([
+        1.0 + m00 + m11 + m22,
+        1.0 + m00 - m11 - m22,
+        1.0 - m00 + m11 - m22,
+        1.0 - m00 - m11 + m22,
+    ], np.float32)
+    best = int(np.argmax(cand))
+    s = 0.5 * np.sqrt(max(cand[best], 1e-12))
+    if best == 0:
+        q = np.array([s, (m21 - m12) / (4 * s), (m02 - m20) / (4 * s),
+                      (m10 - m01) / (4 * s)], np.float32)
+    elif best == 1:
+        q = np.array([(m21 - m12) / (4 * s), s, (m01 + m10) / (4 * s),
+                      (m02 + m20) / (4 * s)], np.float32)
+    elif best == 2:
+        q = np.array([(m02 - m20) / (4 * s), (m01 + m10) / (4 * s), s,
+                      (m12 + m21) / (4 * s)], np.float32)
+    else:
+        q = np.array([(m10 - m01) / (4 * s), (m02 + m20) / (4 * s),
+                      (m12 + m21) / (4 * s), s], np.float32)
+    if q[0] < 0:
+        q = -q
+    q = q / np.linalg.norm(q)
+    w, x, y, z = (float(v) for v in q)
+    Rn = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = Rn
+    out[:3, 3] = T[:3, 3]
     return out
 
 

@@ -66,3 +66,57 @@ def test_slam_loop_closure_end_to_end(rng):
     # Trajectory still sane after pose graph + global BA.
     est_x = w.pose_global[: w.num_frames][:, 0, 3]
     np.testing.assert_allclose(est_x, xs, atol=0.12)
+
+
+def test_loop_closure_with_offline_vocabulary(rng, tmp_path):
+    """Offline-vocabulary workflow (ref src/slam.cpp:101,171): the codebook
+    is trained on a SEPARATE corpus (different texture seed), saved, loaded,
+    and loop closure still fires — no train-on-query-set contamination."""
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.frontend.odometer import detect_and_describe
+    from stereo_orb_slam_tpu.loop import OrbVocabulary
+
+    # Corpus scene: unrelated texture (different seed/scale).
+    fe = FrontendConfig(num_features=256)
+    corpus_scene = PlaneScene(np.random.default_rng(999), tex_scale=0.03)
+    descs = []
+    for x in np.linspace(0, 3.0, 10):
+        img = corpus_scene.render(x)
+        _, v, d = detect_and_describe(jnp.asarray(img), fe)
+        descs.append(np.asarray(d)[np.asarray(v)])
+    corpus = np.concatenate(descs)
+    vocab = OrbVocabulary.train(corpus, num_words=256, iterations=4)
+    path = str(tmp_path / "vocab.npz")
+    vocab.save(path)
+    loaded = OrbVocabulary.load(path)
+
+    scene = PlaneScene(rng)
+    cfg = SlamConfig(
+        frontend=fe,
+        ransac=RansacConfig(num_hypotheses=64),
+        loop=LoopConfig(
+            distant_frame_thresh=10, adjacent_frame_thresh=3,
+            database_capacity=64, query_size=8, vocab_words=256,
+        ),
+        refine_interval=10 ** 6,
+        per_frame_ba=False,
+    )
+    system = SlamSystem(scene.make_rig(), cfg, vocab=loaded,
+                        vocab_train_frames=10 ** 9)
+
+    step = 0.2
+    # Longer dwell than the online-vocab test: a foreign-corpus codebook is
+    # less discriminative on this scene, so the Bayes filter needs a few
+    # more revisit hits to cross the 0.9 loop threshold.
+    xs = (
+        [i * step for i in range(12)]
+        + [(11 - i) * step for i in range(12)]
+        + [0.02 * (i % 3) for i in range(24)]
+    )
+    for x in xs:
+        system.process(scene.render(x), scene.render(x, right=True))
+
+    assert max(system.loop.probabilities) > 0.9
+    stats = system.finish()
+    assert stats["pose_graph"]["num_loop_edges"] >= 1

@@ -1,0 +1,68 @@
+"""Scaling-mechanism assertions for the distributed BA path.
+
+Wall-clock scaling efficiency cannot be measured meaningfully on this
+container (2 physical cores shared by all virtual devices — XLA:CPU already
+uses both cores for the 1-device run, so 1->2 virtual devices is compute
+bound at ~50% by construction; see BASELINE.md). What CAN be pinned without
+real chips is the mechanism that produces scaling on hardware:
+
+- the observation arrays of the sharded solve are genuinely partitioned
+  1/N per device (per-device FLOPs and HBM traffic drop proportionally),
+- the partitions are balanced,
+- the collective volume per LM step is O(C + P) state, independent of the
+  observation count (so the ICI term stays flat as obs scale),
+- and the sharded result equals the single-device result
+  (tests/test_dist_ba.py asserts the numerics; re-checked here 1 vs 2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_orb_slam_tpu.apps.scaling_bench import make_problem
+from stereo_orb_slam_tpu.config import BAConfig
+from stereo_orb_slam_tpu.parallel.dist_ba import shard_problem, sharded_lm_step
+from stereo_orb_slam_tpu.parallel.mesh import make_mesh
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_obs_arrays_partition_evenly(n_dev):
+    mesh = make_mesh(n_dev)
+    cfg = BAConfig(cg_iterations=5)
+    prob = make_problem(C=16, P=512, obs_per_cam=64)
+    step = sharded_lm_step(mesh, cfg)
+    prob_sharded = shard_problem(mesh, prob)
+    out, *_ = step(prob_sharded, jnp.float32(1e-4))
+
+    O = prob.obs_uv.shape[0]
+    shards = prob_sharded.obs_uv.addressable_shards
+    assert len(shards) == n_dev
+    sizes = {s.data.shape[0] for s in shards}
+    assert sizes == {O // n_dev}, "observation shards must be balanced 1/N"
+    # Replicated state (the per-step collective payload) is O(C+P), not O(O).
+    assert prob_sharded.pose6.addressable_shards[0].data.shape[0] == 16
+    assert prob_sharded.points.addressable_shards[0].data.shape[0] == 512
+
+
+def test_sharded_equals_single_device():
+    cfg = BAConfig(cg_iterations=10)
+    prob = make_problem(C=12, P=256, obs_per_cam=48)
+
+    from stereo_orb_slam_tpu.backend.ba import lm_step_impl
+
+    p1, lam1, acc1, c0_1, c1_1 = jax.jit(
+        lambda p, l: lm_step_impl(p, l, cfg)
+    )(prob, jnp.float32(1e-4))
+
+    mesh = make_mesh(2)
+    step = sharded_lm_step(mesh, cfg)
+    p2, lam2, acc2, c0_2, c1_2 = step(shard_problem(mesh, prob),
+                                      jnp.float32(1e-4))
+    np.testing.assert_allclose(float(c0_1), float(c0_2), rtol=1e-5)
+    # f32 reduction order differs across shards and amplifies through the
+    # CG iterations: same tolerance class as tests/test_dist_ba.py.
+    np.testing.assert_allclose(float(c1_1), float(c1_2), rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(p1.pose6), np.asarray(p2.pose6), atol=2e-3
+    )
