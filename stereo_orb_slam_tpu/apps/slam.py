@@ -144,6 +144,20 @@ class SlamSystem:
         self.curr_pose = np.eye(4, dtype=np.float32)
         self.timers = StageTimers()
         self.frame_index = 0
+        # Pipelined live-loop BA: finish() closure of the solve dispatched
+        # for the previous batch (applied before anything touches the world).
+        self._pending_ba = None
+        self.pgo.pre_optimize_hook = self._finish_pending_ba
+
+    def _finish_pending_ba(self):
+        """Apply the previous batch's in-flight BA solve (readback +
+        writeback). Nothing modifies the world between the dispatch and
+        this call, so the result is bitwise identical to a synchronous
+        solve — the device just crunched it off the critical path."""
+        if self._pending_ba is not None:
+            fin, self._pending_ba = self._pending_ba, None
+            with self.timers.time("ba.finish"):
+                fin()
 
     # ------------------------------------------------------------ vocabulary
     def _maybe_train_vocab(self):
@@ -175,6 +189,7 @@ class SlamSystem:
     def process(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
         """One frame through the full pipeline (ref slam.cpp:108-148)."""
         cfg = self.cfg
+        self._finish_pending_ba()
         with self.timers.time("vo.track"):
             trans = self.vo.track(img_l, img_r)
 
@@ -209,44 +224,68 @@ class SlamSystem:
     def process_batch(self, imgs_l, imgs_r) -> list:
         """K frames through the full pipeline with O(1) device dispatches.
 
-        The TPU-native shape of the hot loop at ref slam.cpp:108-148: one
-        front-end scan dispatch + one consolidated readback (track_batch),
-        one BoW score/append dispatch (LoopDetector.process_batch), and one
-        BA solve over the batch window. Per-frame Bayes filtering, map
-        bookkeeping, and pose chaining replay on host from the batch
-        readbacks, so the semantics per frame match process().
+        The TPU-native shape of the hot loop at ref slam.cpp:108-148, built
+        around TWO device interactions per batch:
+
+        1. ONE fused front-end program (track_batch with BoW fused in):
+           K-frame tracking scan + BoW scoring/database append, ONE packed
+           readback carrying StepResults + loop top-k candidates.
+        2. ONE windowed BA solve, dispatched asynchronously and finished
+           (readback + writeback) at the START of the next batch — the
+           device crunches the LM schedule while the host replays the Bayes
+           filter and the reader thread uploads the next image batch.
+           Nothing touches the world between dispatch and finish, so the
+           pipelining is bitwise-neutral.
+
+        Per-frame Bayes filtering, map bookkeeping, and pose chaining replay
+        on host from the batch readbacks, so the semantics per frame match
+        process().
 
         Deliberate deviation (documented): the reference's per-frame BA
-        (landmark-only, single fixed pose, ref slam.cpp:123) is replaced by
-        ONE solve over the batch's frames — the window's first pose is held
-        fixed and the K new poses + landmarks refine jointly, which is at
-        least as strong a refinement at 1/K the dispatch cost.
+        (landmark-only, ref slam.cpp:123) and its every-10-frames window BA
+        (ref slam.cpp:126-129) are replaced by ONE solve per batch over a
+        window covering both — max(0, min(n_before-1, n-2*refine_interval))
+        .. n — which refines at least the same variables at 1/(K+1) the
+        dispatch cost.
         """
         cfg = self.cfg
         k = len(imgs_l)
+        self._finish_pending_ba()
         n_before = self.world.num_frames
+
+        bow = None
+        if self.loop is not None:
+            # Fuse BoW scoring into the front-end program: reserve database
+            # capacity up front (the device appends the recorded frames).
+            self.loop._ensure_capacity(self.loop.db_size + k)
+            bow = (self.vocab.centroids, self.vocab.idf, self.loop.database,
+                   self.loop.db_size, cfg.loop.query_size)
         with self.timers.time("vo.track"):
-            trans_list = self.vo.track_batch(imgs_l, imgs_r)
+            trans_list = self.vo.track_batch(imgs_l, imgs_r, bow=bow)
 
         n = self.world.num_frames
         if n > n_before and n >= 2:
-            if cfg.per_frame_ba:
-                with self.timers.time("ba.batch"):
-                    self.ba.optimize(max(0, n_before - 1), n,
-                                     max_iterations=cfg.live_ba_iterations)
-            if (n // cfg.refine_interval) > (n_before // cfg.refine_interval):
+            lo = (min(max(0, n_before - 1), max(0, n - 2 * cfg.refine_interval))
+                  if cfg.per_frame_ba else max(0, n - 2 * cfg.refine_interval))
+            crossed = (n // cfg.refine_interval) > (n_before // cfg.refine_interval)
+            if cfg.per_frame_ba or crossed:
                 with self.timers.time("ba.window"):
-                    self.ba.optimize(max(0, n - 2 * cfg.refine_interval), n,
-                                     max_iterations=cfg.live_ba_iterations)
+                    self._pending_ba = self.ba.optimize_async(
+                        lo, n, max_iterations=cfg.live_ba_iterations
+                    )
 
-        if n > n_before:
-            self._maybe_train_vocab()
-        if self.loop is not None and n > n_before:
-            slots = self.vo.last_batch.slots
+        if bow is not None and n > n_before:
+            # A loop-exit inside this replay triggers the pose graph, whose
+            # pre_optimize_hook finishes the in-flight BA first.
             with self.timers.time("loop.query"):
-                self.loop.process_batch(
-                    slots.desc, slots.valid, self.vo.last_batch_recorded
+                self.loop.ingest_batch_topk(
+                    self.vo.last_topk_ids, self.vo.last_topk_scores,
+                    self.vo.last_batch_recorded, self.vo.last_new_database,
                 )
+        elif bow is not None:
+            self.loop.database = self.vo.last_new_database  # unchanged rows
+        if self.loop is None and n > n_before:
+            self._maybe_train_vocab()
 
         for trans in trans_list:
             self.curr_pose = self.curr_pose @ trans
@@ -255,6 +294,7 @@ class SlamSystem:
 
     def finish(self) -> dict:
         """End-of-sequence: pose graph + final global BA (ref slam.cpp:152-156)."""
+        self._finish_pending_ba()
         stats = {}
         with self.timers.time("pose_graph.final"):
             stats["pose_graph"] = self.pgo.optimize()
@@ -268,6 +308,7 @@ class SlamSystem:
 
     def export(self, folder: str, suffix: Optional[str] = None):
         """Dump txt + PLY artifacts (ref slam.cpp:159-171)."""
+        self._finish_pending_ba()
         suffix = suffix or self.cfg.output_suffix
         os.makedirs(folder, exist_ok=True)
         export.dump_world(folder, self.world)

@@ -394,8 +394,37 @@ lm_init = jax.jit(lm_init_impl, static_argnames=("cfg",))
 lm_iteration = jax.jit(lm_iteration_impl, static_argnames=("cfg",))
 
 
+def build_slots_device(obs_point, obs_cam, obs_weight, n_points_pad: int,
+                       K: int):
+    """Device-side equivalent of schur_dense.group_slots.
+
+    The [P,K]x3 slot maps are ~P*K*12 bytes; on a remote-attached TPU
+    uploading them per solve costs more than the solve itself (~2.4 MB at
+    ~38 MB/s for a live window). They are pure functions of the (sorted)
+    obs arrays already on device, so the live path derives them here —
+    only the static K bucket is chosen on host (from the exact per-point
+    observation counts).
+
+    REQUIRES obs_point sorted ascending with padding rows (obs_weight == 0)
+    at the END of the array (the BundleAdjuster layout).
+    """
+    real = (obs_weight > 0).astype(jnp.int32)
+    # Padding rows (obs_weight == 0, parked at obs_point=0) contribute 0.
+    counts = jax.ops.segment_sum(real, obs_point,
+                                 num_segments=n_points_pad)  # [P]
+    n_obs = jnp.sum(real)
+    starts = jnp.cumsum(counts) - counts
+    k = jnp.arange(K, dtype=jnp.int32)
+    run = jnp.minimum(k[None, :], jnp.maximum(counts - 1, 0)[:, None])
+    sto = jnp.minimum(starts[:, None] + run,
+                      jnp.maximum(n_obs - 1, 0)).astype(jnp.int32)
+    mask = (k[None, :] < counts[:, None]).astype(jnp.float32)
+    scam = jnp.where(mask > 0, obs_cam[sto], 0).astype(jnp.int32)
+    return sto, scam, mask
+
+
 def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
-                  dense_slots=None, axis_name=None):
+                  dense_slots=None, axis_name=None, dense_K=None):
     """Full LM solve in ONE device program: init + `lax.while_loop` over
     evaluate-once iterations with the reference's convergence exit (relative
     cost decrease < function_tolerance on an accepted step, the Ceres
@@ -407,7 +436,16 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
     round trip (~30-45 ms), dwarfing the ~40 ms of actual device work in a
     50-iteration solve. This runs the whole damping schedule device-side;
     the host reads back once. Returns (carry, iterations_run, cost_initial).
+
+    `dense_slots` may be passed explicitly (precomputed host maps), or
+    derived on device when `dense_K` (static) is given — the live-loop path,
+    which avoids uploading ~P*K*12 bytes of slot maps per solve.
     """
+    if dense_slots is None and dense_K is not None:
+        dense_slots = build_slots_device(
+            prob.obs_point, prob.obs_cam, prob.obs_weight,
+            prob.points.shape[0], dense_K,
+        )
     carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name)
     cost_init = carry0.cost
 
@@ -431,7 +469,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
     return carry, iters, cost_init
 
 
-ba_solve = jax.jit(ba_solve_impl, static_argnames=("cfg", "axis_name"))
+ba_solve = jax.jit(ba_solve_impl,
+                   static_argnames=("cfg", "axis_name", "dense_K"))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:
@@ -482,14 +521,28 @@ class BundleAdjuster:
 
     def optimize(self, start_frame: int, end_frame: int,
                  max_iterations: Optional[int] = None) -> dict:
+        fin = self.optimize_async(start_frame, end_frame, max_iterations)
+        return fin() if fin is not None else {}
+
+    def optimize_async(self, start_frame: int, end_frame: int,
+                       max_iterations: Optional[int] = None):
+        """Build + DISPATCH the solve; return a finish() closure that blocks
+        on the single packed readback and applies the writeback.
+
+        JAX dispatch is asynchronous, so between optimize_async() and
+        finish() the device crunches the LM schedule while the host does
+        other work (the live loop calls finish() at the top of the NEXT
+        batch — nothing touches the world in between, so the result is
+        bitwise identical to the synchronous call, just off the critical
+        path). Returns None when there is nothing to solve."""
         world = self.world
         end_frame = min(end_frame, world.num_frames)
         if end_frame - start_frame < 1:
-            return {}
+            return None
         problem = world.ba_problem(start_frame, end_frame)
         n_obs = len(problem["obs_cam"])
         if n_obs == 0:
-            return {}
+            return None
 
         C = len(problem["frame_ids"])
         P_real = len(problem["point_ids"])
@@ -537,47 +590,55 @@ class BundleAdjuster:
 
         cfg = self.cfg
         # Dense-Schur fast path for windowed problems (see
-        # backend/schur_dense.py); matrix-free otherwise.
-        from stereo_orb_slam_tpu.backend import schur_dense
-
-        dense_slots = None
+        # backend/schur_dense.py); matrix-free otherwise. Only the static K
+        # bucket (max observations per point, pow2) is chosen on host — the
+        # [P,K] slot maps themselves are derived ON DEVICE inside ba_solve
+        # (uploading them cost more than the solve on the relay transport).
+        dense_K = None
         if C <= cfg.dense_schur_max_cams:
-            sto, scam, smask, K = schur_dense.group_slots(
-                obs_point[:n_obs], obs_cam[:n_obs], P_pad, n_obs
-            )
+            kmax = int(np.bincount(obs_point[:n_obs],
+                                   minlength=1).max(initial=2))
+            K = 1 << (max(kmax, 2) - 1).bit_length()
             if P_pad * K <= cfg.dense_schur_max_slots:
-                dense_slots = (
-                    jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask)
-                )
+                dense_K = K
 
         iters = max_iterations or cfg.max_iterations
         # Entire LM schedule in one device program — a single host sync per
         # solve instead of one per iteration (see ba_solve_impl docstring).
         carry, n_iters, cost_init = ba_solve(
-            prob, jnp.int32(iters), cfg, dense_slots=dense_slots
+            prob, jnp.int32(iters), cfg, dense_K=dense_K
         )
 
         # ONE consolidated readback: in the relay's synchronous mode every
         # fetched array pays its own round trip, so pose6/points/scalars are
-        # packed into a single buffer on device first.
-        flat = np.asarray(_pack_ba_result(
+        # packed into a single buffer on device first. The dispatch above is
+        # async — only the np.asarray inside finish() blocks.
+        flat_dev = _pack_ba_result(
             carry.prob.pose6, carry.prob.points, n_iters, cost_init,
             carry.cost,
-        ))
-        pose6_new = flat[: C * 6].reshape(C, 6)
-        points_new = flat[C * 6 : C * 6 + P_pad * 3].reshape(P_pad, 3)
-        n_it, c0, c1 = flat[-3:]
+        )
 
-        # Write back: pose6 (world->camera) -> camera-to-world matrices
-        # (host math, geometry/se3_np.py).
-        cam_world_new = se3_np.inverse_np(se3_np.pose6_to_matrix_np(pose6_new))
-        self.world.ba_writeback(problem, cam_world_new, points_new[:P_real])
-        self.last_stats = {
-            "iterations": int(n_it),
-            "cost_initial": float(c0),
-            "cost_final": float(c1),
-            "num_cams": C,
-            "num_points": P_real,
-            "num_obs": n_obs,
-        }
-        return self.last_stats
+        def finish() -> dict:
+            flat = np.asarray(flat_dev)
+            pose6_new = flat[: C * 6].reshape(C, 6)
+            points_new = flat[C * 6 : C * 6 + P_pad * 3].reshape(P_pad, 3)
+            n_it, c0, c1 = flat[-3:]
+
+            # Write back: pose6 (world->camera) -> camera-to-world matrices
+            # (host math, geometry/se3_np.py).
+            cam_world_new = se3_np.inverse_np(
+                se3_np.pose6_to_matrix_np(pose6_new)
+            )
+            self.world.ba_writeback(problem, cam_world_new,
+                                    points_new[:P_real])
+            self.last_stats = {
+                "iterations": int(n_it),
+                "cost_initial": float(c0),
+                "cost_final": float(c1),
+                "num_cams": C,
+                "num_points": P_real,
+                "num_obs": n_obs,
+            }
+            return self.last_stats
+
+        return finish

@@ -228,11 +228,17 @@ class PoseGraphOptimizer:
         self.loop_edges: list = []        # pending (a, b) pairs
         self.committed_edges: list = []   # all (a, b) ever optimized (for PLY)
         self.last_stats = {}
+        # Called before any solve: the live loop registers its pending
+        # (pipelined) BA finisher here so a loop-triggered optimization
+        # always sees the refined map first (SlamSystem._finish_pending_ba).
+        self.pre_optimize_hook = None
 
     def add_loop_edge(self, a: int, b: int):
         self.loop_edges.append((int(a), int(b)))
 
     def optimize(self, run_global_ba: bool = True) -> dict:
+        if self.pre_optimize_hook is not None:
+            self.pre_optimize_hook()
         world = self.world
         n = world.num_frames
         if n < 2:

@@ -269,36 +269,21 @@ def frontend_chain(
     return stacked
 
 
-@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
-def frontend_chain_packed(
-    imgs_l, imgs_r, prev, prev_initialized, keys,
-    rig, max_distance, fe: FrontendConfig, rc: RansacConfig, rectified, steer,
-):
-    """frontend_chain + on-device packing of the K StepResults into ONE
-    uint32 buffer [K, 15N+20].
+def _pack_chain_results(res: StepResult, k: int, n: int):
+    """On-device packing of K stacked StepResults into ONE uint32 buffer
+    [K, 17N+20]. Layout per frame (N = num_features):
 
-    In the relay's synchronous mode every fetched array pays its own
-    ~35 ms round trip; a StepResult tree has 14 leaves, so device_get cost
-    ~0.5 s per batch. Packing makes the consolidated readback literally one
-    transfer. Layout per frame (N = num_features):
-
-      [0:8N)        desc (8 words/slot)
-      [8N:9N)       prev_idx (int32 bits)
-      [9N:10N)      flags: bit0 = valid, bit1 = tracked
-      [10N:15N)     f32 bits: kp_l (2N), kp_r (2N), pts... see unpack
-      [15N:15N+16)  f32 bits: transform (row-major 4x4)
-      [15N+16:+20)  num_stereo, num_temporal, num_inliers(+1), success
+      [0:8N)          desc (8 words/slot)
+      [8N:9N)         prev_idx (int32 bits)
+      [9N:10N)        flags: bit0 = valid, bit1 = tracked
+      [10N:17N)       f32 bits: kp_l (2N), kp_r (2N), pts (3N)
+      [17N:17N+16)    f32 bits: transform (row-major 4x4)
+      [17N+16:17N+20) num_stereo, num_temporal, num_inliers(+1), success
     """
-    res = frontend_chain(
-        imgs_l, imgs_r, prev, prev_initialized, keys, rig, max_distance,
-        fe, rc, rectified, steer,
-    )
-    k = imgs_l.shape[0]
-    n = fe.num_features
     bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
     flags = (res.slots.valid.astype(jnp.uint32)
              | (res.tracked.astype(jnp.uint32) << 1))
-    packed = jnp.concatenate([
+    return jnp.concatenate([
         res.slots.desc.reshape(k, 8 * n),
         bits(res.prev_idx.astype(jnp.int32)).reshape(k, n),
         flags.reshape(k, n),
@@ -314,7 +299,69 @@ def frontend_chain_packed(
             res.ransac_success.astype(jnp.uint32),
         ], axis=1),
     ], axis=1)
-    return packed
+
+
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
+def frontend_chain_packed(
+    imgs_l, imgs_r, prev, prev_initialized, keys,
+    rig, max_distance, fe: FrontendConfig, rc: RansacConfig, rectified, steer,
+):
+    """frontend_chain + on-device packing of the K StepResults into ONE
+    uint32 buffer [K, 17N+20].
+
+    In the relay's synchronous mode every fetched array pays its own
+    ~35 ms round trip; a StepResult tree has 14 leaves, so device_get cost
+    ~0.5 s per batch. Packing makes the consolidated readback literally one
+    transfer (layout: see _pack_chain_results).
+    """
+    res = frontend_chain(
+        imgs_l, imgs_r, prev, prev_initialized, keys, rig, max_distance,
+        fe, rc, rectified, steer,
+    )
+    return _pack_chain_results(res, imgs_l.shape[0], fe.num_features)
+
+
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified", "query_size"))
+def frontend_chain_packed_bow(
+    imgs_l, imgs_r, prev, prev_initialized, keys,
+    rig, max_distance, fe: FrontendConfig, rc: RansacConfig, rectified, steer,
+    centroids, idf, database, db_size, query_size: int,
+):
+    """frontend_chain_packed + the K frames' BoW scoring/database append
+    FUSED into the same device program (the whole per-batch hot path of
+    ref `src/slam.cpp:108-134` — Track + loop Query/Track — as ONE dispatch
+    and ONE readback).
+
+    The separate loop dispatch previously re-uploaded the K descriptor
+    banks (~0.5 MB) and paid its own round trip + two scalar readbacks per
+    batch; here the descriptors never leave the device and the top-k
+    candidates ride the packed buffer. `recorded` is derived on device from
+    the same state machine the host replays (num_stereo gate).
+
+    Returns (packed [K, 17N+20+2*query_size], new_database). The appended
+    words per frame are: top_ids int32 bits [query_size], top_scores f32
+    bits [query_size]. The Bayes filter replays on host from those
+    (LoopDetector.ingest_batch_topk).
+    """
+    from stereo_orb_slam_tpu.loop.vocab import batch_score_update
+
+    res = frontend_chain(
+        imgs_l, imgs_r, prev, prev_initialized, keys, rig, max_distance,
+        fe, rc, rectified, steer,
+    )
+    k = imgs_l.shape[0]
+    n = fe.num_features
+    packed = _pack_chain_results(res, k, n)
+    recorded = res.num_stereo >= fe.min_stereo_matches
+    top_ids, top_scores, new_db = batch_score_update(
+        res.slots.desc, res.slots.valid, recorded, centroids, idf,
+        database, db_size, query_size=query_size,
+    )
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    packed = jnp.concatenate(
+        [packed, bits(top_ids), bits(top_scores)], axis=1
+    )
+    return packed, new_db
 
 
 def unpack_step_results(packed: np.ndarray, n: int) -> list:
@@ -396,6 +443,9 @@ class VisualOdometer:
         self.frame_recorded = False
         self.last_batch = None            # stacked numpy StepResult of track_batch
         self.last_batch_recorded = []
+        self.last_new_database = None     # device BoW DB from the fused path
+        self.last_topk_ids = None         # [K, query_size] int32
+        self.last_topk_scores = None      # [K, query_size] float32
         self._current_features = None  # (desc, uv4, point_ids, valid) of latest frame
 
     def track(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
@@ -421,19 +471,26 @@ class VisualOdometer:
         )
         return self._ingest(res)
 
-    def track_batch(self, imgs_l: np.ndarray, imgs_r: np.ndarray) -> list:
+    def track_batch(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
+                    bow=None) -> list:
         """Process K stereo pairs with ONE device dispatch + ONE readback.
 
         The scan threads prev-state on device (same state machine as
         `_ingest`); the host then replays map bookkeeping per frame from the
         consolidated numpy StepResults. Steady-state transport cost is
         one round trip per K frames instead of ~8 per frame.
+
+        With `bow` = (centroids, idf, database, db_size, query_size), the
+        K frames' BoW scoring + database append run INSIDE the same device
+        program; the top-k candidates come back in the same packed readback
+        (self.last_topk_ids/_scores [K, query_size]) and the updated
+        database stays device-resident (self.last_new_database).
         """
         k = len(imgs_l)
         idx = jnp.arange(self._frame_counter, self._frame_counter + k)
         keys = jax.vmap(lambda i: jax.random.fold_in(self._base_key, i))(idx)
         self._frame_counter += k
-        packed = frontend_chain_packed(
+        args = (
             imgs_l if isinstance(imgs_l, jax.Array) else jnp.asarray(imgs_l),
             imgs_r if isinstance(imgs_r, jax.Array) else jnp.asarray(imgs_r),
             jax.tree.map(jnp.asarray, self.prev),
@@ -446,9 +503,23 @@ class VisualOdometer:
             self.rectified,
             orb._STEER,
         )
-        results = unpack_step_results(
-            jax.device_get(packed), self.fe.num_features  # ONE transfer
-        )
+        if bow is None:
+            packed = frontend_chain_packed(*args)
+        else:
+            centroids, idf, database, db_size, query_size = bow
+            packed, self.last_new_database = frontend_chain_packed_bow(
+                *args, centroids, idf, database, jnp.int32(db_size),
+                query_size,
+            )
+        packed_np = jax.device_get(packed)  # ONE transfer
+        if bow is not None:
+            q = bow[4]
+            base_w = 17 * self.fe.num_features + 20
+            tk = np.ascontiguousarray(packed_np[:, base_w:])
+            self.last_topk_ids = tk[:, :q].view(np.int32)
+            self.last_topk_scores = tk[:, q:].view(np.float32)
+            packed_np = packed_np[:, :base_w]
+        results = unpack_step_results(packed_np, self.fe.num_features)
         self.last_batch = StepResult(
             slots=FrameSlots(
                 kp_l=np.stack([r.slots.kp_l for r in results]),

@@ -118,15 +118,27 @@ class LoopDetector:
             self.database, jnp.int32(self.db_size),
             query_size=self.cfg.query_size,
         )
-        self.database = new_db
         ti = np.asarray(top_ids)      # small consolidated readback
         ts = np.asarray(top_scores)
+        return self.ingest_batch_topk(ti, ts, recorded, new_db)
+
+    def ingest_batch_topk(self, top_ids, top_scores, recorded,
+                          new_database) -> list:
+        """Host Bayes-filter replay from a batch's top-k candidates.
+
+        Used by both process_batch and the fused front-end path
+        (odometer.frontend_chain_packed_bow), where the device program has
+        already scored + appended the recorded frames: `new_database` is
+        adopted as-is and db_size advances one per recorded frame.
+        """
+        self.database = new_database
         results = []
-        for j in range(k):
+        for j in range(len(recorded)):
             if not recorded[j]:
                 results.append(None)
                 continue
-            top = [(int(i), float(s)) for i, s in zip(ti[j], ts[j]) if i >= 0]
+            top = [(int(i), float(s))
+                   for i, s in zip(top_ids[j], top_scores[j]) if i >= 0]
             results.append(self._filter_update(top))
             self.db_size += 1  # the device program already appended the row
         return results

@@ -206,6 +206,65 @@ def test_group_slots_roundtrip(rng):
     assert not mask[37:].any()
 
 
+def test_device_slots_match_host_group_slots(rng):
+    """build_slots_device (the live path: slot maps derived ON DEVICE from
+    the sorted obs arrays, only K chosen on host) must reproduce the host
+    group_slots maps exactly, including padding rows parked at the array
+    tail with obs_point=0."""
+    from stereo_orb_slam_tpu.backend import schur_dense
+    from stereo_orb_slam_tpu.backend.ba import build_slots_device
+
+    n_pts, n_obs, O_pad = 37, 200, 256
+    obs_point = np.zeros(O_pad, np.int32)
+    obs_cam = np.zeros(O_pad, np.int32)
+    obs_w = np.zeros(O_pad, np.float32)
+    obs_point[:n_obs] = np.sort(rng.integers(0, n_pts, n_obs).astype(np.int32))
+    obs_cam[:n_obs] = rng.integers(0, 9, n_obs).astype(np.int32)
+    obs_w[:n_obs] = 1.0
+
+    sto_h, scam_h, mask_h, K = schur_dense.group_slots(
+        obs_point[:n_obs], obs_cam[:n_obs], 64, n_obs
+    )
+    sto_d, scam_d, mask_d = build_slots_device(
+        jnp.asarray(obs_point), jnp.asarray(obs_cam), jnp.asarray(obs_w),
+        64, K,
+    )
+    np.testing.assert_array_equal(np.asarray(mask_d), mask_h)
+    # Masked slots must agree exactly; unmasked slots only need to point at
+    # SOME valid row (both implementations clamp, possibly differently).
+    m = mask_h > 0
+    np.testing.assert_array_equal(np.asarray(sto_d)[m], sto_h[m])
+    np.testing.assert_array_equal(np.asarray(scam_d)[m], scam_h[m])
+    assert np.asarray(sto_d).max() < n_obs
+    assert np.all(np.diff(np.asarray(sto_d).ravel()) >= 0), "monotonic gather"
+
+
+def test_ba_solve_dense_K_matches_explicit_slots(rng):
+    """ba_solve with device-derived slots (dense_K) equals ba_solve with
+    host-precomputed dense_slots."""
+    from stereo_orb_slam_tpu.backend import schur_dense
+    from stereo_orb_slam_tpu.backend.ba import ba_solve
+
+    world, rig, *_ = synth_ba_world(rng, n_frames=6, n_points=150,
+                                    noise_px=0.5)
+    adj = ba.BundleAdjuster(world, rig)
+    raw, flat, n_obs, P_pad = _flat_prob_from_world(world, adj)
+    sto, scam, smask, K = schur_dense.group_slots(
+        np.asarray(flat.obs_point)[:n_obs], np.asarray(flat.obs_cam)[:n_obs],
+        P_pad, n_obs,
+    )
+    cfg = BAConfig(cg_iterations=50)
+    c1, it1, ci1 = ba_solve(flat, jnp.int32(5), cfg,
+                            dense_slots=(jnp.asarray(sto), jnp.asarray(scam),
+                                         jnp.asarray(smask)))
+    c2, it2, ci2 = ba_solve(flat, jnp.int32(5), cfg, dense_K=K)
+    assert int(it1) == int(it2)
+    np.testing.assert_array_equal(np.asarray(c1.prob.pose6),
+                                  np.asarray(c2.prob.pose6))
+    np.testing.assert_array_equal(np.asarray(c1.prob.points),
+                                  np.asarray(c2.prob.points))
+
+
 def test_dense_schur_matches_matrix_free(rng):
     """One LM step with explicit-S assembly must match the matrix-free path
     (same normal equations; CG solves to tight tol on both)."""

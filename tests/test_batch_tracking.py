@@ -117,6 +117,84 @@ def test_loop_detector_batch_equivalence(rng):
     )
 
 
+def test_fused_bow_batch_equals_sequential_loop(rng):
+    """process_batch with a vocabulary (BoW scoring FUSED into the front-end
+    device program, top-k riding the packed readback) reproduces the
+    sequential process() Bayes trajectory and database exactly. BA disabled
+    so the two cadences are bitwise-comparable."""
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+
+    n = 16
+    traj, scene, seq = _make_seq(n, blank=(9,))
+    corpus = rng.integers(0, 2 ** 32, (4096, 8), dtype=np.uint32)
+    vocab = OrbVocabulary.train(corpus, num_words=128, iterations=3)
+    cfg = SlamConfig().replace(
+        frontend=FE, ransac=RC, per_frame_ba=False,
+        refine_interval=10 ** 6, batch_frames=4,
+        loop=LoopConfig(vocab_words=128, database_capacity=8,
+                        distant_frame_thresh=6, adjacent_frame_thresh=2),
+    )
+
+    s1 = SlamSystem(scene.make_rig(), cfg, vocab=vocab)
+    for il, ir in seq:
+        s1.process(il, ir)
+
+    s2 = SlamSystem(scene.make_rig(), cfg, vocab=vocab)
+    for s in range(0, n, 4):
+        s2.process_batch(
+            np.stack([seq[i][0] for i in range(s, s + 4)]),
+            np.stack([seq[i][1] for i in range(s, s + 4)]),
+        )
+
+    assert s1.loop.db_size == s2.loop.db_size == n - 1
+    assert s1.loop.matches == s2.loop.matches
+    assert np.allclose(s1.loop.probabilities, s2.loop.probabilities, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.loop.database[: s1.loop.db_size]),
+        np.asarray(s2.loop.database[: s2.loop.db_size]), atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        s1.world.pose_global[: s1.world.num_frames],
+        s2.world.pose_global[: s2.world.num_frames],
+    )
+
+
+def test_pipelined_ba_is_bitwise_neutral():
+    """The live loop dispatches each batch's BA solve asynchronously and
+    applies the writeback at the start of the NEXT batch. Nothing touches
+    the world in between, so forcing the writeback immediately after each
+    batch must produce the identical world."""
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+
+    n = 24
+    traj, scene, seq = _make_seq(n)
+    cfg = SlamConfig().replace(
+        frontend=FE, ransac=RC, refine_interval=8, batch_frames=6
+    )
+
+    def run(force_sync):
+        system = SlamSystem(scene.make_rig(), cfg, vocab=None,
+                            vocab_train_frames=10 ** 9)
+        for s in range(0, n, 6):
+            system.process_batch(
+                np.stack([seq[i][0] for i in range(s, s + 6)]),
+                np.stack([seq[i][1] for i in range(s, s + 6)]),
+            )
+            if force_sync:
+                system._finish_pending_ba()
+        system.finish()
+        return system.world
+
+    w1 = run(True)
+    w2 = run(False)
+    np.testing.assert_array_equal(
+        w1.pose_global[: w1.num_frames], w2.pose_global[: w2.num_frames]
+    )
+    np.testing.assert_array_equal(
+        w1.points[: w1.num_points], w2.points[: w2.num_points]
+    )
+
+
 def test_slam_process_batch_ate():
     """Full SLAM through process_batch (batched BA window) stays within the
     accuracy bound of the sequential path."""
