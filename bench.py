@@ -247,7 +247,7 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
     return chain / device_s, {"C": C, "P": P, "O": O}
 
 
-def bench_e2e_slam(batch=16, warm_batches=3, timed_batches=4,
+def bench_e2e_slam(batch=32, warm_batches=2, timed_batches=4,
                    refine_interval=10, h=376, w=1241, cfg_overrides=None):
     """End-to-end LIVE SLAM throughput: the real product path.
 

@@ -147,6 +147,12 @@ class SlamSystem:
         # Pipelined live-loop BA: finish() closure of the solve dispatched
         # for the previous batch (applied before anything touches the world).
         self._pending_ba = None
+        # Pipelined front-end: dispatch_batch handle of the chain currently
+        # in flight (collected one process_batch call later).
+        self._pending_batch = None
+        # Device-resident (database, db_size) threaded between fused chain
+        # dispatches; None = rebuild from the LoopDetector host state.
+        self._bow_dev = None
         self.pgo.pre_optimize_hook = self._finish_pending_ba
 
     def _finish_pending_ba(self):
@@ -158,6 +164,15 @@ class SlamSystem:
             fin, self._pending_ba = self._pending_ba, None
             with self.timers.time("ba.finish"):
                 fin()
+
+    def flush(self) -> list:
+        """Drain the live-loop pipeline: collect the in-flight front-end
+        batch (map update + BA dispatch + loop replay) and apply the
+        in-flight BA. Called by process()/finish()/export() so the world is
+        always complete at those boundaries."""
+        out = self._collect_pending_batch()
+        self._finish_pending_ba()
+        return out
 
     # ------------------------------------------------------------ vocabulary
     def _maybe_train_vocab(self):
@@ -189,7 +204,7 @@ class SlamSystem:
     def process(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
         """One frame through the full pipeline (ref slam.cpp:108-148)."""
         cfg = self.cfg
-        self._finish_pending_ba()
+        self.flush()
         with self.timers.time("vo.track"):
             trans = self.vo.track(img_l, img_r)
 
@@ -222,24 +237,22 @@ class SlamSystem:
         return trans
 
     def process_batch(self, imgs_l, imgs_r) -> list:
-        """K frames through the full pipeline with O(1) device dispatches.
+        """K frames through the full pipeline, PIPELINED two batches deep.
 
-        The TPU-native shape of the hot loop at ref slam.cpp:108-148, built
-        around TWO device interactions per batch:
+        The TPU-native shape of the hot loop at ref slam.cpp:108-148. Per
+        call: (1) apply the in-flight BA writeback (batch i-2), (2) DISPATCH
+        this batch's fused front-end program — K-frame tracking scan + BoW
+        scoring/database append in one device program, with the tracker
+        carry and the BoW database threading on DEVICE between dispatches —
+        then (3) collect batch i-1's packed readback, replay its map
+        bookkeeping and Bayes filter on host, and dispatch its windowed BA
+        solve asynchronously. The device is therefore always executing one
+        chain ahead of the host, and every readback overlaps device work.
 
-        1. ONE fused front-end program (track_batch with BoW fused in):
-           K-frame tracking scan + BoW scoring/database append, ONE packed
-           readback carrying StepResults + loop top-k candidates.
-        2. ONE windowed BA solve, dispatched asynchronously and finished
-           (readback + writeback) at the START of the next batch — the
-           device crunches the LM schedule while the host replays the Bayes
-           filter and the reader thread uploads the next image batch.
-           Nothing touches the world between dispatch and finish, so the
-           pipelining is bitwise-neutral.
-
-        Per-frame Bayes filtering, map bookkeeping, and pose chaining replay
-        on host from the batch readbacks, so the semantics per frame match
-        process().
+        Returns the transforms of the PREVIOUS batch ([] on the first
+        call); call flush()/finish() to drain the last batch. All host
+        bookkeeping replays in dispatch order, so the world/Bayes states
+        are bitwise identical to the eager (unpipelined) execution.
 
         Deliberate deviation (documented): the reference's per-frame BA
         (landmark-only, ref slam.cpp:123) and its every-10-frames window BA
@@ -251,17 +264,46 @@ class SlamSystem:
         cfg = self.cfg
         k = len(imgs_l)
         self._finish_pending_ba()
-        n_before = self.world.num_frames
 
         bow = None
         if self.loop is not None:
-            # Fuse BoW scoring into the front-end program: reserve database
-            # capacity up front (the device appends the recorded frames).
-            self.loop._ensure_capacity(self.loop.db_size + k)
-            bow = (self.vocab.centroids, self.vocab.idf, self.loop.database,
-                   self.loop.db_size, cfg.loop.query_size)
-        with self.timers.time("vo.track"):
-            trans_list = self.vo.track_batch(imgs_l, imgs_r, bow=bow)
+            inflight = self._pending_batch["k"] if self._pending_batch else 0
+            if (self.loop.db_size + inflight + k
+                    > self.loop.database.shape[0]):
+                # Growing the database changes the jit shape: drain the
+                # pipeline, resize, and rebuild the device threading state.
+                self._collect_pending_batch()
+                self.loop._ensure_capacity(self.loop.db_size + k)
+                self._bow_dev = None
+            if self._bow_dev is None:
+                self._bow_dev = (jnp.asarray(self.loop.database),
+                                 jnp.int32(self.loop.db_size))
+            bow = (self.vocab.centroids, self.vocab.idf, self._bow_dev[0],
+                   self._bow_dev[1], cfg.loop.query_size)
+
+        with self.timers.time("vo.dispatch"):
+            handle = self.vo.dispatch_batch(imgs_l, imgs_r, bow=bow)
+        if bow is not None:
+            self._bow_dev = (handle["bow"][0], handle["bow"][1])
+
+        out = self._collect_pending_batch()
+        self._pending_batch = handle
+        return out
+
+    def _collect_pending_batch(self) -> list:
+        """Collect the in-flight front-end batch: packed readback, map
+        update, BA dispatch, Bayes-filter replay, pose chaining."""
+        if self._pending_batch is None:
+            return []
+        handle, self._pending_batch = self._pending_batch, None
+        cfg = self.cfg
+        # Apply any still-in-flight BA BEFORE this batch's map bookkeeping
+        # (flush() collects with a BA pending): new frames must chain off
+        # the refined poses exactly as in the eager execution order.
+        self._finish_pending_ba()
+        n_before = self.world.num_frames
+        with self.timers.time("vo.collect"):
+            trans_list = self.vo.collect_batch(handle)
 
         n = self.world.num_frames
         if n > n_before and n >= 2:
@@ -274,7 +316,7 @@ class SlamSystem:
                         lo, n, max_iterations=cfg.live_ba_iterations
                     )
 
-        if bow is not None and n > n_before:
+        if handle["bow"] is not None and n > n_before:
             # A loop-exit inside this replay triggers the pose graph, whose
             # pre_optimize_hook finishes the in-flight BA first.
             with self.timers.time("loop.query"):
@@ -282,19 +324,30 @@ class SlamSystem:
                     self.vo.last_topk_ids, self.vo.last_topk_scores,
                     self.vo.last_batch_recorded, self.vo.last_new_database,
                 )
-        elif bow is not None:
+        elif handle["bow"] is not None:
             self.loop.database = self.vo.last_new_database  # unchanged rows
+        elif self.loop is not None and n > n_before:
+            # Batch was dispatched before the vocabulary existed (it trained
+            # while this batch was in flight): replay query+track on host so
+            # database rows stay aligned with frame ids.
+            with self.timers.time("loop.query"):
+                lb = self.vo.last_batch
+                for j, rec in enumerate(self.vo.last_batch_recorded):
+                    if rec:
+                        self.loop.query(lb.slots.desc[j], lb.slots.valid[j])
+                        self.loop.track(lb.slots.desc[j], lb.slots.valid[j])
+                self._bow_dev = None
         if self.loop is None and n > n_before:
             self._maybe_train_vocab()
 
         for trans in trans_list:
             self.curr_pose = self.curr_pose @ trans
-        self.frame_index += k
+        self.frame_index += handle["k"]
         return trans_list
 
     def finish(self) -> dict:
         """End-of-sequence: pose graph + final global BA (ref slam.cpp:152-156)."""
-        self._finish_pending_ba()
+        self.flush()
         stats = {}
         with self.timers.time("pose_graph.final"):
             stats["pose_graph"] = self.pgo.optimize()
@@ -308,7 +361,7 @@ class SlamSystem:
 
     def export(self, folder: str, suffix: Optional[str] = None):
         """Dump txt + PLY artifacts (ref slam.cpp:159-171)."""
-        self._finish_pending_ba()
+        self.flush()
         suffix = suffix or self.cfg.output_suffix
         os.makedirs(folder, exist_ok=True)
         export.dump_world(folder, self.world)

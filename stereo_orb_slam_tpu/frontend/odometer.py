@@ -242,10 +242,12 @@ def frontend_chain(
       record = num_stereo >= min_stereo_matches
       swap   = record & (first_frame | ransac_success)
 
-    Returns the per-frame StepResults stacked on a leading K axis.
+    Returns (final_carry, stacked): the per-frame StepResults stacked on a
+    leading K axis, plus the DEVICE-resident tracker state (prev slots,
+    initialized) after the K frames — feeding final_carry into the next
+    chain dispatch pipelines batches with no host round trip in between
+    (the host replay of the same state machine stays bitwise identical).
     """
-    eye = jnp.eye(4, dtype=jnp.float32)
-
     def body(carry, inp):
         prev, initialized = carry
         img_l, img_r, key = inp
@@ -263,10 +265,10 @@ def frontend_chain(
         # or not (a blank first frame still flips the flag).
         return (new_prev, jnp.asarray(True)), res
 
-    (_, _), stacked = jax.lax.scan(
+    final_carry, stacked = jax.lax.scan(
         body, (prev, prev_initialized), (imgs_l, imgs_r, keys)
     )
-    return stacked
+    return final_carry, stacked
 
 
 def _pack_chain_results(res: StepResult, k: int, n: int):
@@ -313,12 +315,15 @@ def frontend_chain_packed(
     ~35 ms round trip; a StepResult tree has 14 leaves, so device_get cost
     ~0.5 s per batch. Packing makes the consolidated readback literally one
     transfer (layout: see _pack_chain_results).
+
+    Returns (carry, packed); `carry` is the device tracker state for
+    pipelined dispatch (see frontend_chain).
     """
-    res = frontend_chain(
+    carry, res = frontend_chain(
         imgs_l, imgs_r, prev, prev_initialized, keys, rig, max_distance,
         fe, rc, rectified, steer,
     )
-    return _pack_chain_results(res, imgs_l.shape[0], fe.num_features)
+    return carry, _pack_chain_results(res, imgs_l.shape[0], fe.num_features)
 
 
 @partial(jax.jit, static_argnames=("fe", "rc", "rectified", "query_size"))
@@ -338,14 +343,17 @@ def frontend_chain_packed_bow(
     candidates ride the packed buffer. `recorded` is derived on device from
     the same state machine the host replays (num_stereo gate).
 
-    Returns (packed [K, 17N+20+2*query_size], new_database). The appended
-    words per frame are: top_ids int32 bits [query_size], top_scores f32
-    bits [query_size]. The Bayes filter replays on host from those
-    (LoopDetector.ingest_batch_topk).
+    Returns (carry, packed [K, 17N+20+2*query_size], new_database,
+    new_db_size). The appended words per frame are: top_ids int32 bits
+    [query_size], top_scores f32 bits [query_size]. The Bayes filter
+    replays on host from those (LoopDetector.ingest_batch_topk). `carry`,
+    `new_database`, and `new_db_size` stay device-resident so the next
+    batch's chain can be dispatched before this one's readback (pipelined
+    mode).
     """
     from stereo_orb_slam_tpu.loop.vocab import batch_score_update
 
-    res = frontend_chain(
+    carry, res = frontend_chain(
         imgs_l, imgs_r, prev, prev_initialized, keys, rig, max_distance,
         fe, rc, rectified, steer,
     )
@@ -357,11 +365,12 @@ def frontend_chain_packed_bow(
         res.slots.desc, res.slots.valid, recorded, centroids, idf,
         database, db_size, query_size=query_size,
     )
+    new_db_size = db_size + jnp.sum(recorded.astype(jnp.int32))
     bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
     packed = jnp.concatenate(
         [packed, bits(top_ids), bits(top_scores)], axis=1
     )
-    return packed, new_db
+    return carry, packed, new_db, new_db_size
 
 
 def unpack_step_results(packed: np.ndarray, n: int) -> list:
@@ -446,6 +455,10 @@ class VisualOdometer:
         self.last_new_database = None     # device BoW DB from the fused path
         self.last_topk_ids = None         # [K, query_size] int32
         self.last_topk_scores = None      # [K, query_size] float32
+        # Device-resident (prev slots, initialized) threaded between chain
+        # dispatches; None = rebuild from the host mirrors (after single-
+        # frame tracking or at start).
+        self._carry_dev = None
         self._current_features = None  # (desc, uv4, point_ids, valid) of latest frame
 
     def track(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
@@ -469,6 +482,7 @@ class VisualOdometer:
             self.rectified,
             orb._STEER,
         )
+        self._carry_dev = None  # host mirrors are now ahead of the device
         return self._ingest(res)
 
     def track_batch(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
@@ -486,15 +500,30 @@ class VisualOdometer:
         (self.last_topk_ids/_scores [K, query_size]) and the updated
         database stays device-resident (self.last_new_database).
         """
+        return self.collect_batch(self.dispatch_batch(imgs_l, imgs_r, bow))
+
+    def dispatch_batch(self, imgs_l, imgs_r, bow=None) -> dict:
+        """Dispatch the K-frame chain program; returns a handle for
+        collect_batch. Does NOT block: the tracker state threads on DEVICE
+        (final scan carry), so the next batch can be dispatched before this
+        one's readback — the 2-deep live-loop pipeline. The host-side
+        mirrors (prev/initialized/world) catch up when the handle is
+        collected; collection order must match dispatch order.
+        """
         k = len(imgs_l)
         idx = jnp.arange(self._frame_counter, self._frame_counter + k)
         keys = jax.vmap(lambda i: jax.random.fold_in(self._base_key, i))(idx)
         self._frame_counter += k
+        if self._carry_dev is None:
+            self._carry_dev = (
+                jax.tree.map(jnp.asarray, self.prev),
+                jnp.asarray(self.initialized),
+            )
         args = (
             imgs_l if isinstance(imgs_l, jax.Array) else jnp.asarray(imgs_l),
             imgs_r if isinstance(imgs_r, jax.Array) else jnp.asarray(imgs_r),
-            jax.tree.map(jnp.asarray, self.prev),
-            jnp.asarray(self.initialized),
+            self._carry_dev[0],
+            self._carry_dev[1],
             keys,
             self.rig,
             self.max_distance,
@@ -503,17 +532,29 @@ class VisualOdometer:
             self.rectified,
             orb._STEER,
         )
+        handle = {"k": k, "bow": None}
         if bow is None:
-            packed = frontend_chain_packed(*args)
+            carry, packed = frontend_chain_packed(*args)
         else:
             centroids, idf, database, db_size, query_size = bow
-            packed, self.last_new_database = frontend_chain_packed_bow(
-                *args, centroids, idf, database, jnp.int32(db_size),
+            carry, packed, new_db, new_db_size = frontend_chain_packed_bow(
+                *args, centroids, idf, database,
+                db_size if isinstance(db_size, jax.Array)
+                else jnp.int32(db_size),
                 query_size,
             )
-        packed_np = jax.device_get(packed)  # ONE transfer
-        if bow is not None:
-            q = bow[4]
+            handle["bow"] = (new_db, new_db_size, query_size)
+        self._carry_dev = carry
+        handle["packed"] = packed
+        return handle
+
+    def collect_batch(self, handle: dict) -> list:
+        """Block on a dispatch_batch handle's packed readback and replay the
+        host bookkeeping (map update, swap/record mirrors, loop top-k)."""
+        packed_np = jax.device_get(handle["packed"])  # ONE transfer
+        if handle["bow"] is not None:
+            new_db, new_db_size, q = handle["bow"]
+            self.last_new_database = new_db
             base_w = 17 * self.fe.num_features + 20
             tk = np.ascontiguousarray(packed_np[:, base_w:])
             self.last_topk_ids = tk[:, :q].view(np.int32)

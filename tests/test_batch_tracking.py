@@ -145,6 +145,7 @@ def test_fused_bow_batch_equals_sequential_loop(rng):
             np.stack([seq[i][0] for i in range(s, s + 4)]),
             np.stack([seq[i][1] for i in range(s, s + 4)]),
         )
+    s2.flush()  # drain the 2-deep pipeline
 
     assert s1.loop.db_size == s2.loop.db_size == n - 1
     assert s1.loop.matches == s2.loop.matches
@@ -160,10 +161,11 @@ def test_fused_bow_batch_equals_sequential_loop(rng):
 
 
 def test_pipelined_ba_is_bitwise_neutral():
-    """The live loop dispatches each batch's BA solve asynchronously and
-    applies the writeback at the start of the NEXT batch. Nothing touches
-    the world in between, so forcing the writeback immediately after each
-    batch must produce the identical world."""
+    """The live loop pipelines two batches deep: the front-end chain of
+    batch i is dispatched before batch i-1's results are collected, and
+    each batch's BA writeback lands at the start of the next call. All
+    host bookkeeping replays in dispatch order, so draining the pipeline
+    after every single batch must produce the identical world."""
     from stereo_orb_slam_tpu.apps.slam import SlamSystem
 
     n = 24
@@ -181,7 +183,7 @@ def test_pipelined_ba_is_bitwise_neutral():
                 np.stack([seq[i][1] for i in range(s, s + 6)]),
             )
             if force_sync:
-                system._finish_pending_ba()
+                system.flush()
         system.finish()
         return system.world
 
