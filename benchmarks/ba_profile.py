@@ -84,57 +84,61 @@ def main():
     O = args.C * args.obs_per_cam
     cfg = BAConfig(cg_iterations=args.cg_iterations, function_tolerance=0.0)
 
-    # ---- isolated stage programs -----------------------------------------
+    # ---- isolated stage programs ------------------------------------------
+    # Slot maps / masks / lam are passed as ARGUMENTS (not closures): closed-
+    # over device arrays become HLO constants — long compiles + re-streamed
+    # per call on the relay transport (advisor r2, CLAUDE.md rule).
     @jax.jit
-    def stage_build(prob):
+    def stage_build(prob, slots):
         return build_normal_equations(prob, cfg.huber_delta,
                                       dense_slots=slots)
 
-    H_cc, H_pp, W, b_c, b_p, cost = stage_build(prob)
+    H_cc, H_pp, W, b_c, b_p, cost = stage_build(prob, slots)
     lam = jnp.float32(1e-4)
 
     @jax.jit
-    def stage_damp_inv(H_cc, H_pp):
+    def stage_damp_inv(H_cc, H_pp, point_mask, cam_mask, lam):
         H_cc_l = _damp_blocks(H_cc, lam)
         H_pp_l = _damp_blocks(H_pp, lam)
         eye3 = jnp.eye(3, dtype=H_pp_l.dtype)
-        H_pp_l = jnp.where(prob.point_mask[:, None, None] > 0, H_pp_l,
+        H_pp_l = jnp.where(point_mask[:, None, None] > 0, H_pp_l,
                            eye3[None])
         Hpp_inv = _inv3(H_pp_l)
         eye6 = jnp.eye(6, dtype=H_cc_l.dtype)
-        H_cc_safe = jnp.where(prob.cam_mask[:, None, None] > 0, H_cc_l,
+        H_cc_safe = jnp.where(cam_mask[:, None, None] > 0, H_cc_l,
                               eye6[None])
         M_inv = _inv6_gj(H_cc_safe + 1e-8 * eye6[None])
         return Hpp_inv, H_cc_safe, M_inv
 
-    Hpp_inv, H_cc_safe, M_inv = stage_damp_inv(H_cc, H_pp)
+    Hpp_inv, H_cc_safe, M_inv = stage_damp_inv(
+        H_cc, H_pp, prob.point_mask, prob.cam_mask, lam
+    )
 
     @jax.jit
-    def stage_assemble(H_cc_safe, W, Hpp_inv):
+    def stage_assemble(H_cc_safe, W, Hpp_inv, slots, cam_mask):
         return schur_dense.assemble_schur(
-            H_cc_safe, W, Hpp_inv, slots[0], slots[1], slots[2],
-            prob.cam_mask,
+            H_cc_safe, W, Hpp_inv, slots[0], slots[1], slots[2], cam_mask,
         )
 
-    S = stage_assemble(H_cc_safe, W, Hpp_inv)
+    S = stage_assemble(H_cc_safe, W, Hpp_inv, slots, prob.cam_mask)
 
     @jax.jit
-    def stage_pcg(S, b_c, M_inv):
-        rhs = b_c * prob.cam_mask[:, None]
+    def stage_pcg(S, b_c, M_inv, cam_mask):
+        rhs = b_c * cam_mask[:, None]
 
         def mv(x):
             return (S @ x.reshape(-1)).reshape(x.shape)
 
         return pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
 
-    dc = stage_pcg(S, b_c, M_inv)
+    dc = stage_pcg(S, b_c, M_inv, prob.cam_mask)
 
     @jax.jit
-    def stage_lm(carry):
+    def stage_lm(carry, slots):
         return lm_iteration(carry, cfg, slots)
 
     carry = lm_init(prob, cfg, slots)
-    out = stage_lm(carry)
+    out = stage_lm(carry, slots)
     jax.block_until_ready(out[0].prob.pose6)
 
     # ---- sync-differencing timings ----------------------------------------
@@ -153,11 +157,13 @@ def main():
         return float(np.min(ts[1:]))
 
     rtt = tmin(lambda: noop(zz), max(8, args.iters))
-    t_build = tmin(lambda: stage_build(prob)) - rtt
-    t_damp = tmin(lambda: stage_damp_inv(H_cc, H_pp)) - rtt
-    t_assemble = tmin(lambda: stage_assemble(H_cc_safe, W, Hpp_inv)) - rtt
-    t_pcg = tmin(lambda: stage_pcg(S, b_c, M_inv)) - rtt
-    t_lm = tmin(lambda: stage_lm(carry)) - rtt
+    t_build = tmin(lambda: stage_build(prob, slots)) - rtt
+    t_damp = tmin(lambda: stage_damp_inv(H_cc, H_pp, prob.point_mask,
+                                         prob.cam_mask, lam)) - rtt
+    t_assemble = tmin(lambda: stage_assemble(H_cc_safe, W, Hpp_inv, slots,
+                                             prob.cam_mask)) - rtt
+    t_pcg = tmin(lambda: stage_pcg(S, b_c, M_inv, prob.cam_mask)) - rtt
+    t_lm = tmin(lambda: stage_lm(carry, slots)) - rtt
 
     # ---- FLOP model --------------------------------------------------------
     # assemble_schur: per point-chunk  S += A^T (blockdiag(Hpp_inv) A) with

@@ -264,15 +264,26 @@ class SlamSystem:
         cfg = self.cfg
         k = len(imgs_l)
         self._finish_pending_ba()
+        drained: list = []
 
         bow = None
         if self.loop is not None:
+            if (self._pending_batch is not None
+                    and self._pending_batch["bow"] is None):
+                # The vocabulary trained while a bow-less batch was in
+                # flight: its rows only reach the database via the host
+                # replay in _collect_pending_batch. Drain BEFORE snapshotting
+                # the device database, or this dispatch scores/appends
+                # against a snapshot missing those rows and the later
+                # ingest_batch_topk clobbers them (advisor r2, high).
+                drained = self._collect_pending_batch()
+                self._bow_dev = None
             inflight = self._pending_batch["k"] if self._pending_batch else 0
             if (self.loop.db_size + inflight + k
                     > self.loop.database.shape[0]):
                 # Growing the database changes the jit shape: drain the
                 # pipeline, resize, and rebuild the device threading state.
-                self._collect_pending_batch()
+                drained += self._collect_pending_batch()
                 self.loop._ensure_capacity(self.loop.db_size + k)
                 self._bow_dev = None
             if self._bow_dev is None:
@@ -288,7 +299,7 @@ class SlamSystem:
 
         out = self._collect_pending_batch()
         self._pending_batch = handle
-        return out
+        return drained + out
 
     def _collect_pending_batch(self) -> list:
         """Collect the in-flight front-end batch: packed readback, map

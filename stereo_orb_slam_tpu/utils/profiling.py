@@ -27,6 +27,12 @@ class StageTimers:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
+    def reset(self):
+        """Zero all accumulators (bench harnesses call this at the warm-up /
+        timed boundary so compile time never pollutes the per-frame split)."""
+        self.totals.clear()
+        self.counts.clear()
+
     def summary(self) -> dict:
         return {
             name: {

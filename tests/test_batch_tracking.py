@@ -160,6 +160,56 @@ def test_fused_bow_batch_equals_sequential_loop(rng):
     )
 
 
+def test_vocab_trains_midflight_database_consistent(rng):
+    """The default CLI path (no --vocab, batch_frames>1) trains the
+    vocabulary while a bow-less batch is in flight. The pipeline must drain
+    BEFORE the device database snapshot is built, or the next fused dispatch
+    scores/appends against a snapshot missing the pending batch's rows and
+    ingest_batch_topk clobbers the host-replayed rows (advisor r2, high).
+
+    Invariant pinned here: at the end, database row f == the recomputed BoW
+    vector of recorded frame f's stored descriptors, for EVERY frame."""
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+    from stereo_orb_slam_tpu.config import SlamConfig
+
+    n = 24
+    traj, scene, seq = _make_seq(n)
+    cfg = SlamConfig().replace(
+        frontend=FE, ransac=RC, per_frame_ba=False,
+        refine_interval=10 ** 6, batch_frames=4,
+        loop=LoopConfig(vocab_words=128, vocab_iterations=2,
+                        database_capacity=8, distant_frame_thresh=6,
+                        adjacent_frame_thresh=2),
+    )
+    system = SlamSystem(scene.make_rig(), cfg, vocab=None,
+                        vocab_train_frames=10)
+    out = []
+    for s in range(0, n, 4):
+        out += system.process_batch(
+            np.stack([seq[i][0] for i in range(s, s + 4)]),
+            np.stack([seq[i][1] for i in range(s, s + 4)]),
+        )
+    out += system.flush()
+
+    assert system.loop is not None, "vocabulary never trained"
+    # No transform dropped anywhere (advisor r2, low: the resize/drain paths
+    # must forward the drained batch's transforms to the caller).
+    assert len(out) == n
+    w = system.world
+    assert system.loop.db_size == w.num_frames
+    db = np.asarray(system.loop.database)[: system.loop.db_size]
+    for f in range(w.num_frames):
+        expected = np.asarray(system.vocab.bow_vector(
+            jnp.asarray(w.frame_desc[f]), jnp.asarray(w.frame_feat_valid[f])
+        ))
+        np.testing.assert_allclose(
+            db[f], expected, atol=1e-5,
+            err_msg=f"database row {f} diverged from frame {f}'s BoW vector",
+        )
+
+
 def test_pipelined_ba_is_bitwise_neutral():
     """The live loop pipelines two batches deep: the front-end chain of
     batch i is dispatched before batch i-1's results are collected, and
