@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -44,78 +45,150 @@ from stereo_orb_slam_tpu.utils.profiling import StageTimers
 from stereo_orb_slam_tpu.worldmap import WorldMap
 
 
-def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
-                      seed: int = 1234):
-    """(src, dst) -> (Z, ok): re-match two frames' stored features and
-    RANSAC their relative transform; merge matched landmark identities.
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
+def _loop_edges_program(d_src, d_dst, v_src, v_dst, uv_src, uv_dst, keys,
+                        rig, fe, rc, rectified):
+    """E loop edges' match + triangulate + RANSAC in ONE device program.
 
-    Z satisfies X_dst = Z @ X_src (equivalently T_dst^-1 T_src = Z), matching
-    the reference's loop-edge convention (SURVEY.md C12)."""
-    key_holder = [jax.random.key(seed)]
-    rect = (rig.rectified if isinstance(rig.rectified, bool)
-            else bool(np.asarray(rig.rectified)))
+    The reference measures each loop edge with a fresh MatchPoints +
+    CalcTransformation call (ref pose_graph_optimizer.cpp:175-249); doing
+    that serially from the host costs one dispatch + readback per edge
+    (~70 ms of pure transport per edge on the relay) at the exact moment
+    the live loop is already stalled on the pose-graph solve. Here the E
+    edges vmap through the same matcher/RANSAC kernels and come back as one
+    packed uint32 buffer [E, 16 + N + 2]:
 
-    def matcher(src: int, dst: int):
-        fe, rc = cfg.frontend, cfg.ransac
-        d_src = jnp.asarray(world.frame_desc[src])
-        d_dst = jnp.asarray(world.frame_desc[dst])
-        v_src = jnp.asarray(world.frame_feat_valid[src])
-        v_dst = jnp.asarray(world.frame_feat_valid[dst])
+      [0:16)      transform f32 bits (row-major 4x4, X_dst = Z @ X_src)
+      [16:16+N)   per-slot word: match idx (bits 0..30) | inlier << 31
+      [16+N]      success flag
+      [16+N+1]    num_inliers + 1 (biased; can be -1 when no solve ran)
+    """
+    from stereo_orb_slam_tpu.geometry.camera import triangulate_ideal
+
+    n = d_dst.shape[1]
+
+    def one(d_s, d_d, v_s, v_d, uv_s, uv_d, key):
         # Query = dst (the newer frame), train = src, as MatchPoints is
         # called with (src, dst) at ref pose_graph_optimizer.cpp:229.
         idx, ok, _ = match_mod.match_descriptors(
-            d_dst, d_src, v_dst, v_src,
+            d_d, d_s, v_d, v_s,
             max_distance=fe.match_max_distance, ratio=fe.match_ratio,
         )
-        idx_np = np.asarray(idx)
-        ok_np = np.asarray(ok)
-        if ok_np.sum() < rc.min_pairs:
-            return np.eye(4, dtype=np.float32), False
-
-        uv_dst = world.frame_feat_uv[dst]
-        uv_src = world.frame_feat_uv[src][idx_np]
-        # Re-triangulate both frames' stored stereo observations. Stored
-        # observations are already ideal-pinhole (undistorted by the front
-        # end), so use the ideal path.
-        from stereo_orb_slam_tpu.geometry.camera import triangulate_ideal
-
-        pts_dst, tv_d = triangulate_ideal(
-            rig, jnp.asarray(uv_dst[:, :2]), jnp.asarray(uv_dst[:, 2:]),
-            rectified=rect,
+        uv_s_m = uv_s[idx]
+        # Stored observations are already ideal-pinhole (undistorted by the
+        # front end), so re-triangulate through the ideal path.
+        pts_d, tv_d = triangulate_ideal(
+            rig, uv_d[:, :2], uv_d[:, 2:], rectified=rectified,
         )
-        pts_src, tv_s = triangulate_ideal(
-            rig, jnp.asarray(uv_src[:, :2]), jnp.asarray(uv_src[:, 2:]),
-            rectified=rect,
+        pts_s, tv_s = triangulate_ideal(
+            rig, uv_s_m[:, :2], uv_s_m[:, 2:], rectified=rectified,
         )
-        pair_valid = jnp.asarray(ok_np) & tv_d & tv_s
-
-        key_holder[0], sub = jax.random.split(key_holder[0])
-        # curr = src, prev = dst => T: X_dst = T @ X_src.
+        pair_valid = ok & tv_d & tv_s
+        # curr = src, prev = dst => T: X_dst = T @ X_src. RANSAC's own
+        # n_valid >= min_pairs gate subsumes the host pre-check the serial
+        # matcher used (pair_valid <= ok everywhere).
         res = ransac_mod.solve(
-            sub,
-            pts_src, pts_dst,
-            jnp.asarray(uv_src), jnp.asarray(uv_dst),
-            pair_valid, jnp.ones(len(uv_dst), jnp.float32),
+            key, pts_s, pts_d, uv_s_m, uv_d,
+            pair_valid, jnp.ones(n, jnp.float32),
             rig.left.projection, rig.right.projection,
             num_hypotheses=rc.num_hypotheses,
             inlier_threshold_px=rc.inlier_threshold_px,
             min_pairs=rc.min_pairs,
             min_inliers=rc.min_inliers,
         )
-        if not bool(res.success):
-            return np.eye(4, dtype=np.float32), False
+        bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+        slot_w = (idx.astype(jnp.uint32)
+                  | (res.inlier_mask.astype(jnp.uint32) << 31))
+        return jnp.concatenate([
+            bits(res.transform).reshape(16),
+            slot_w,
+            jnp.stack([res.success.astype(jnp.uint32),
+                       (res.num_inliers + 1).astype(jnp.uint32)]),
+        ])
 
+    return jax.vmap(one)(d_src, d_dst, v_src, v_dst, uv_src, uv_dst, keys)
+
+
+def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
+                      seed: int = 1234):
+    """Loop-edge measurement: re-match stored frame features and RANSAC the
+    relative transform; merge matched landmark identities.
+
+    Returns a callable (src, dst) -> (Z, ok) with a `.batch(edges)` method
+    that measures ALL pending edges in one device program + one readback
+    (identical math/randomness: per-edge keys are fold_in(base, counter),
+    with the counter advancing once per edge in either mode).
+
+    Z satisfies X_dst = Z @ X_src (equivalently T_dst^-1 T_src = Z), matching
+    the reference's loop-edge convention (SURVEY.md C12)."""
+    base_key = jax.random.key(seed)
+    counter = [0]
+    rect = (rig.rectified if isinstance(rig.rectified, bool)
+            else bool(np.asarray(rig.rectified)))
+    fe, rc = cfg.frontend, cfg.ransac
+    n = world.frame_desc.shape[1]
+
+    def _merge(src: int, dst: int, idx_np, inl):
         # Merge matched landmark identities (Frame::UpdateMapPoint
         # equivalent, ref pose_graph_optimizer.cpp:241): dst's landmark is
         # replaced by src's for inlier matches.
-        inl = np.asarray(res.inlier_mask)
         dst_pid = world.frame_feat_point[dst]
         src_pid = world.frame_feat_point[src][idx_np]
         sel = inl & (dst_pid >= 0) & (src_pid >= 0)
         if sel.any():
             world.merge_points(dst_pid[sel], src_pid[sel])
-        return np.asarray(res.transform), True
 
+    def batch(edges):
+        """[(src, dst)] -> [(Z, ok)]: one dispatch + one packed readback for
+        all E edges; landmark merges replay on host in edge order (identical
+        to the serial path — merge_points only touches the union-find/count
+        tables, never the raw frame feature banks the matcher reads)."""
+        E = len(edges)
+        if E == 0:
+            return []
+        # Pow2 padding keeps the jit shape bucketed; padded rows are
+        # all-invalid (n_valid = 0 -> success False).
+        E_pad = max(2, 1 << (E - 1).bit_length())
+        d_s = np.zeros((E_pad, n, 8), np.uint32)
+        d_d = np.zeros((E_pad, n, 8), np.uint32)
+        v_s = np.zeros((E_pad, n), bool)
+        v_d = np.zeros((E_pad, n), bool)
+        uv_s = np.zeros((E_pad, n, 4), np.float32)
+        uv_d = np.zeros((E_pad, n, 4), np.float32)
+        for e, (src, dst) in enumerate(edges):
+            d_s[e] = world.frame_desc[src]
+            d_d[e] = world.frame_desc[dst]
+            v_s[e] = world.frame_feat_valid[src]
+            v_d[e] = world.frame_feat_valid[dst]
+            uv_s[e] = world.frame_feat_uv[src]
+            uv_d[e] = world.frame_feat_uv[dst]
+        idxs = jnp.arange(counter[0], counter[0] + E_pad)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(idxs)
+        counter[0] += E
+        packed = np.asarray(_loop_edges_program(
+            jnp.asarray(d_s), jnp.asarray(d_d), jnp.asarray(v_s),
+            jnp.asarray(v_d), jnp.asarray(uv_s), jnp.asarray(uv_d),
+            keys, rig, fe, rc, rect,
+        ))  # ONE transfer
+        out = []
+        for e, (src, dst) in enumerate(edges):
+            row = packed[e]
+            ok = bool(row[16 + n])
+            if not ok:
+                out.append((np.eye(4, dtype=np.float32), False))
+                continue
+            Z = row[:16].view(np.float32).reshape(4, 4).copy()
+            slot_w = row[16 : 16 + n]
+            idx_np = (slot_w & 0x7FFFFFFF).astype(np.int64)
+            inl = (slot_w >> 31).astype(bool)
+            _merge(src, dst, idx_np, inl)
+            out.append((Z, True))
+        return out
+
+    def matcher(src: int, dst: int):
+        return batch([(src, dst)])[0]
+
+    matcher.batch = batch
     return matcher
 
 

@@ -254,20 +254,26 @@ class PoseGraphOptimizer:
 
         # Loop-closure edges: re-match features, RANSAC a relative transform
         # (ref :175-217). Z satisfies T_dst^-1 T_src = Z for edge
-        # (a=dst, b=src).
+        # (a=dst, b=src). All pending edges are measured in ONE device
+        # program + one readback when the matcher supports it (.batch,
+        # apps/slam.make_loop_matcher) — O(1) device interactions in edge
+        # count instead of the reference's per-edge MatchPoints calls.
         n_loop = 0
-        for (src, dst) in self.loop_edges:
-            if self.loop_matcher is None:
-                continue
-            Z, ok = self.loop_matcher(src, dst)
-            if not ok:
-                continue
-            edge_a.append(dst)
-            edge_b.append(src)
-            meas.append(np.asarray(Z, np.float32))
-            weights.append(1.0)
-            self.committed_edges.append((src, dst))
-            n_loop += 1
+        if self.loop_matcher is not None and self.loop_edges:
+            if hasattr(self.loop_matcher, "batch"):
+                measured = self.loop_matcher.batch(self.loop_edges)
+            else:
+                measured = [self.loop_matcher(s, d)
+                            for (s, d) in self.loop_edges]
+            for (src, dst), (Z, ok) in zip(self.loop_edges, measured):
+                if not ok:
+                    continue
+                edge_a.append(dst)
+                edge_b.append(src)
+                meas.append(np.asarray(Z, np.float32))
+                weights.append(1.0)
+                self.committed_edges.append((src, dst))
+                n_loop += 1
         self.loop_edges.clear()  # consumed (ref :216)
 
         E = len(edge_a)

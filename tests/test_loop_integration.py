@@ -120,3 +120,51 @@ def test_loop_closure_with_offline_vocabulary(rng, tmp_path):
     assert max(system.loop.probabilities) > 0.9
     stats = system.finish()
     assert stats["pose_graph"]["num_loop_edges"] >= 1
+
+
+def test_batched_loop_matcher_equals_serial(rng):
+    """make_loop_matcher.batch(E edges) — one device program for all edges —
+    must produce the same transforms, flags, and landmark merges as E
+    per-edge calls (the path the reference runs serially at
+    ref pose_graph_optimizer.cpp:175-249)."""
+    import copy
+
+    from stereo_orb_slam_tpu.apps.slam import make_loop_matcher
+
+    scene = PlaneScene(rng)
+    rig = scene.make_rig()
+    cfg = SlamConfig(
+        frontend=FrontendConfig(num_features=256),
+        ransac=RansacConfig(num_hypotheses=64),
+        refine_interval=10 ** 6,
+        per_frame_ba=False,
+    )
+    system = SlamSystem(rig, cfg, vocab_train_frames=10 ** 9)
+    step = 0.2
+    xs = [i * step for i in range(8)] + [(7 - i) * step for i in range(8)]
+    for x in xs:
+        system.process(scene.render(x), scene.render(x, right=True))
+
+    # Out-and-back: frame 15 revisits frame 0's view, 14 revisits 1, ...
+    edges = [(0, 15), (1, 14), (2, 13), (3, 12)]
+
+    world_a = system.world
+    world_b = copy.deepcopy(system.world)
+
+    m_serial = make_loop_matcher(world_a, rig, cfg, seed=77)
+    m_batch = make_loop_matcher(world_b, rig, cfg, seed=77)
+
+    serial = [m_serial(s, d) for (s, d) in edges]
+    batch = m_batch.batch(edges)
+
+    assert any(ok for _, ok in serial), "expected at least one measured edge"
+    for (Zs, oks), (Zb, okb) in zip(serial, batch):
+        assert oks == okb
+        if oks:
+            np.testing.assert_array_equal(Zs, Zb)
+
+    # Landmark merges replayed identically.
+    np.testing.assert_array_equal(world_a.point_parent, world_b.point_parent)
+    np.testing.assert_array_equal(
+        world_a.point_obs_count, world_b.point_obs_count
+    )
