@@ -28,7 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 from stereo_orb_slam_tpu.backend import schur_dense  # noqa: E402
 from stereo_orb_slam_tpu.backend.ba import (  # noqa: E402
     BAProblem, _damp_blocks, _inv3, _inv6_gj, build_normal_equations,
-    lm_init, lm_iteration, pcg,
+    lm_init, lm_iteration,
 )
 from stereo_orb_slam_tpu.config import BAConfig  # noqa: E402
 
@@ -88,12 +88,19 @@ def main():
     # Slot maps / masks / lam are passed as ARGUMENTS (not closures): closed-
     # over device arrays become HLO constants — long compiles + re-streamed
     # per call on the relay transport (advisor r2, CLAUDE.md rule).
-    @jax.jit
-    def stage_build(prob, slots):
-        return build_normal_equations(prob, cfg.huber_delta,
-                                      dense_slots=slots)
+    # Production dense path: camera reductions ride a constant one-hot
+    # matmul (backend/ba._seg_sum_cams).
+    cam_onehot = jnp.asarray(
+        (np.asarray(prob.obs_cam)[None, :] == np.arange(args.C)[:, None]
+         ).astype(np.float32))
 
-    H_cc, H_pp, W, b_c, b_p, cost = stage_build(prob, slots)
+    @jax.jit
+    def stage_build(prob, slots, cam_onehot):
+        return build_normal_equations(prob, cfg.huber_delta,
+                                      dense_slots=slots,
+                                      cam_onehot=cam_onehot)
+
+    H_cc, H_pp, W, b_c, b_p, cost = stage_build(prob, slots, cam_onehot)
     lam = jnp.float32(1e-4)
 
     @jax.jit
@@ -118,27 +125,23 @@ def main():
     def stage_assemble(H_cc_safe, W, Hpp_inv, slots, cam_mask):
         return schur_dense.assemble_schur(
             H_cc_safe, W, Hpp_inv, slots[0], slots[1], slots[2], cam_mask,
+            dtype=jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32,
         )
 
     S = stage_assemble(H_cc_safe, W, Hpp_inv, slots, prob.cam_mask)
 
     @jax.jit
-    def stage_pcg(S, b_c, M_inv, cam_mask):
-        rhs = b_c * cam_mask[:, None]
+    def stage_chol(S, b_c, cam_mask):
+        return schur_dense.solve_reduced_chol(S, b_c, cam_mask)
 
-        def mv(x):
-            return (S @ x.reshape(-1)).reshape(x.shape)
-
-        return pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
-
-    dc = stage_pcg(S, b_c, M_inv, prob.cam_mask)
+    dc = stage_chol(S, b_c, prob.cam_mask)
 
     @jax.jit
-    def stage_lm(carry, slots):
-        return lm_iteration(carry, cfg, slots)
+    def stage_lm(carry, slots, cam_onehot):
+        return lm_iteration(carry, cfg, slots, cam_onehot=cam_onehot)
 
-    carry = lm_init(prob, cfg, slots)
-    out = stage_lm(carry, slots)
+    carry = lm_init(prob, cfg, slots, cam_onehot=cam_onehot)
+    out = stage_lm(carry, slots, cam_onehot)
     jax.block_until_ready(out[0].prob.pose6)
 
     # ---- sync-differencing timings ----------------------------------------
@@ -157,25 +160,25 @@ def main():
         return float(np.min(ts[1:]))
 
     rtt = tmin(lambda: noop(zz), max(8, args.iters))
-    t_build = tmin(lambda: stage_build(prob, slots)) - rtt
+    t_build = tmin(lambda: stage_build(prob, slots, cam_onehot)) - rtt
     t_damp = tmin(lambda: stage_damp_inv(H_cc, H_pp, prob.point_mask,
                                          prob.cam_mask, lam)) - rtt
     t_assemble = tmin(lambda: stage_assemble(H_cc_safe, W, Hpp_inv, slots,
                                              prob.cam_mask)) - rtt
-    t_pcg = tmin(lambda: stage_pcg(S, b_c, M_inv, prob.cam_mask)) - rtt
-    t_lm = tmin(lambda: stage_lm(carry, slots)) - rtt
+    t_chol = tmin(lambda: stage_chol(S, b_c, prob.cam_mask)) - rtt
+    t_lm = tmin(lambda: stage_lm(carry, slots, cam_onehot)) - rtt
 
     # ---- FLOP model --------------------------------------------------------
     # assemble_schur: per point-chunk  S += A^T (blockdiag(Hpp_inv) A) with
     # A [3P,6C]: 2*(3P)*(6C)^2 for the big matmul + 2*P*K*C*18 one-hot expand.
     P_pad = slots[0].shape[0]
     flops_assemble = 2 * (3 * P_pad) * (6 * C) ** 2 + 2 * P_pad * K * C * 18
-    # PCG: cg_iterations dense matvecs on S [6C,6C].
-    flops_pcg = args.cg_iterations * 2 * (6 * C) ** 2
+    # Direct Cholesky on S [6C,6C]: ~(6C)^3/3 + 2 triangular solves.
+    flops_chol = (6 * C) ** 3 // 3 + 2 * (6 * C) ** 2
     # build: residual+jacobian ~500 flops/obs + block products 369*2/obs
     #        + gather-reduce point sums ~ (9+3)*K flops/point.
     flops_build = O * (500 + 2 * (36 * 4 + 18 * 4 + 24 + 12)) + P_pad * K * 12
-    flops_iter = flops_assemble + flops_pcg + flops_build
+    flops_iter = flops_assemble + flops_chol + flops_build
 
     result = {
         "what": "dense-Schur LM stage profile (sync-differenced device ms)",
@@ -186,10 +189,11 @@ def main():
             "build_normal_equations": round(t_build * 1e3, 2),
             "damp+inverses": round(t_damp * 1e3, 2),
             "assemble_schur": round(t_assemble * 1e3, 2),
-            "pcg": round(t_pcg * 1e3, 2),
+            "cholesky_solve": round(t_chol * 1e3, 2),
         },
         "lm_iteration_ms": round(t_lm * 1e3, 2),
-        "stage_sum_ms": round((t_build + t_damp + t_assemble + t_pcg) * 1e3, 2),
+        "stage_sum_ms": round(
+            (t_build + t_damp + t_assemble + t_chol) * 1e3, 2),
         "flops_per_iter_G": round(flops_iter / 1e9, 1),
         "achieved_tflops": round(flops_iter / max(t_lm, 1e-6) / 1e12, 2),
         "mfu_vs_f32_peak_49T": round(

@@ -84,8 +84,25 @@ def _seg_sum_points(x, obs_point, num, axis_name=None, dense_slots=None):
     return jnp.sum(g, axis=1).reshape((sto.shape[0],) + x.shape[1:])[:num]
 
 
+def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_onehot=None):
+    """Per-camera reduction of per-observation rows x [O, F].
+
+    Matrix-free/distributed: a segment-sum scatter (psum-compatible). With
+    `cam_onehot` [C, O] (dense windowed path), it is ONE one-hot matmul on
+    the MXU — XLA's TPU scatter-add serializes duplicate indices and
+    profiled at ~6.5 ms per LM iteration for the camera Hessian blocks at
+    O=131k, while the equivalent [C,O]x[O,F] matmul measures <0.1 ms
+    (BA_PROFILE_r03). The one-hot is a pure function of obs_cam, built once
+    per solve and loop-invariant across LM iterations.
+    """
+    if cam_onehot is None:
+        return _seg_sum(x, obs_cam, num, axis_name)
+    return cam_onehot @ x
+
+
 def build_normal_equations(prob: BAProblem, huber_delta: float,
-                           axis_name=None, dense_slots=None):
+                           axis_name=None, dense_slots=None,
+                           cam_onehot=None):
     r, J_c, J_p, cost = res_mod.residuals_and_jacobians(
         prob.pose6, prob.points, prob.obs_cam, prob.obs_point, prob.obs_uv,
         prob.obs_weight, prob.P_l, prob.P_r, huber_delta,
@@ -95,8 +112,14 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     JcT_Jc = jnp.einsum("oki,okj->oij", J_c, J_c)        # [O,6,6]
     JpT_Jp = jnp.einsum("oki,okj->oij", J_p, J_p)        # [O,3,3]
     W = jnp.einsum("oki,okj->oij", J_c, J_p)             # [O,6,3]
-    H_cc = _seg_sum(JcT_Jc, prob.obs_cam, C, axis_name)  # [C,6,6]
-    b_c = -_seg_sum(jnp.einsum("oki,ok->oi", J_c, r), prob.obs_cam, C, axis_name)
+    # Camera-side reductions fused into one row per observation: one
+    # matmul (dense path) / one scatter (matrix-free) instead of two.
+    cam_rows = jnp.concatenate(
+        [JcT_Jc.reshape(-1, 36), jnp.einsum("oki,ok->oi", J_c, r)], axis=-1
+    )
+    cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_onehot)
+    H_cc = cam_red[:, :36].reshape(-1, 6, 6)             # [C,6,6]
+    b_c = -cam_red[:, 36:]                               # [C,6]
     # Point-side reductions fused into one row per observation (a single
     # gather-reduce on the dense path instead of two scatters).
     pt_rows = jnp.concatenate(
@@ -225,9 +248,16 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
 
 def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
-              axis_name=None, dense_slots=None):
+              axis_name=None, dense_slots=None, cam_onehot=None):
     """Damp, marginalize points (Schur), solve the reduced camera system,
-    back-substitute. Returns the PROPOSED (pose6, points) for this lambda."""
+    back-substitute. Returns the PROPOSED (pose6, points) for this lambda.
+
+    Two reduced-system solvers:
+    - dense (windowed): IC-ordered S materialized on the MXU
+      (schur_dense.assemble_schur) + direct Cholesky — exact and ~0.2 ms.
+    - matrix-free (global/distributed): block-Jacobi PCG with segment-sum
+      matvecs, psum-reduced under shard_map.
+    """
     H_cc_l = _damp_blocks(H_cc, lam)
     H_pp_l = _damp_blocks(H_pp, lam)
     # Guard padding points: identity blocks so Cholesky stays finite.
@@ -238,17 +268,14 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
 
     # rhs = b_c - W H_pp^-1 b_p
     hp_bp = jnp.einsum("nij,nj->ni", Hpp_inv, b_p)
-    rhs = b_c - _seg_sum(
+    rhs = b_c - _seg_sum_cams(
         jnp.einsum("oij,oj->oi", W, hp_bp[prob.obs_point]), prob.obs_cam,
-        b_c.shape[0], axis_name,
+        b_c.shape[0], axis_name, cam_onehot,
     )
     rhs = rhs * prob.cam_mask[:, None]
 
-    # Preconditioner: inverse of damped camera diagonal blocks (fixed cams
-    # get identity).
     eye6 = jnp.eye(6, dtype=H_cc_l.dtype)
     H_cc_safe = jnp.where(prob.cam_mask[:, None, None] > 0, H_cc_l, eye6[None])
-    M_inv = _inv6_gj(H_cc_safe + 1e-8 * eye6[None])
 
     if dense_slots is not None:
         from stereo_orb_slam_tpu.backend import schur_dense
@@ -256,18 +283,20 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
         S = schur_dense.assemble_schur(
             H_cc_safe, W, Hpp_inv, dense_slots[0], dense_slots[1],
             dense_slots[2], prob.cam_mask,
+            dtype=jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32,
         )
-
-        def mv(x):
-            return (S @ x.reshape(-1)).reshape(x.shape)
+        dc = schur_dense.solve_reduced_chol(S, rhs, prob.cam_mask)
     else:
+        # Preconditioner: inverse of damped camera diagonal blocks (fixed
+        # cams get identity).
+        M_inv = _inv6_gj(H_cc_safe + 1e-8 * eye6[None])
         mv = partial(
             schur_matvec,
             H_cc_l=H_cc_safe, Hpp_inv=Hpp_inv, W=W,
             obs_cam=prob.obs_cam, obs_point=prob.obs_point,
             cam_mask=prob.cam_mask, axis_name=axis_name,
         )
-    dc = pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
+        dc = pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
     dc = dc * prob.cam_mask[:, None]
 
     # Back-substitute points: dp = H_pp^-1 (b_p - W^T dc)
@@ -285,7 +314,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
 
 
 def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
-                 dense_slots=None):
+                 dense_slots=None, cam_onehot=None):
     """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
 
     Returns (new_prob, new_lam, accepted, cost_before, cost_after).
@@ -297,10 +326,11 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
     backend/schur_dense.py). Mutually exclusive with `axis_name`.
     """
     H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot
     )
     pose6_new, points_new = _solve_lm(
-        prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots
+        prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots,
+        cam_onehot,
     )
 
     cost1 = res_mod.robust_cost(
@@ -341,16 +371,16 @@ class LMCarry(NamedTuple):
 
 
 def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
-                 axis_name=None):
+                 axis_name=None, cam_onehot=None):
     H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot
     )
     return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
                    H_cc, H_pp, W, b_c, b_p)
 
 
 def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
-                      axis_name=None):
+                      axis_name=None, cam_onehot=None):
     """One evaluate-once LM iteration (single-device fast path).
 
     Returns (new_carry, accepted, cost_before, cost_after). The accept
@@ -363,11 +393,11 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     prob = carry.prob
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
-        carry.lam, cfg, axis_name, dense_slots,
+        carry.lam, cfg, axis_name, dense_slots, cam_onehot,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
     H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
-        prob_try, cfg.huber_delta, axis_name, dense_slots
+        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_onehot
     )
 
     accept = cost_try < carry.cost
@@ -446,7 +476,15 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
             prob.obs_point, prob.obs_cam, prob.obs_weight,
             prob.points.shape[0], dense_K,
         )
-    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name)
+    cam_onehot = None
+    if dense_slots is not None:
+        # Constant across LM iterations: one [C,O] f32 one-hot turns every
+        # camera-side reduction into an MXU matmul (see _seg_sum_cams).
+        C = prob.pose6.shape[0]
+        cam_onehot = (prob.obs_cam[None, :]
+                      == jnp.arange(C, dtype=prob.obs_cam.dtype)[:, None]
+                      ).astype(jnp.float32)
+    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_onehot)
     cost_init = carry0.cost
 
     def cond(state):
@@ -457,7 +495,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
         carry, it, _ = state
         new_carry, accepted, c0, c1 = lm_iteration_impl(carry, cfg,
                                                         dense_slots,
-                                                        axis_name)
+                                                        axis_name,
+                                                        cam_onehot)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
         )

@@ -92,8 +92,24 @@ def _chunk_size(P: int, K: int, C: int) -> int:
 
 
 def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
-                   cam_mask):
-    """Materialize S = H_cc_safe - W H_pp^-1 W^T as [6C, 6C].
+                   cam_mask, dtype=jnp.bfloat16):
+    """Materialize the reduced camera system S = H_cc_safe - W H_pp^-1 W^T
+    as [6C, 6C] in IC ORDER: flat index q = i * C + c (parameter i of
+    camera c), NOT the (c, i) order of the matrix-free path.
+
+    Why IC order: the one-hot expansion einsum "pkc,pkia->paic" emits its
+    output with the camera axis minor — the layout the MXU wants — so XLA
+    feeds the big S accumulation matmul directly. The previous "paci"
+    (camera-major) layout forced a 29 MB transpose copy + reshape per point
+    chunk, which PROFILED as the dominant assembly cost on v5e (~9.5 ms of
+    the ~16 ms assembly in a 41.8 ms LM iteration; see BA_PROFILE_r03).
+    IC-order assembly measures 2.5x faster. Downstream consumers
+    (solve_reduced_chol / ba._solve_lm) flatten rhs and unflatten the
+    solution in the same order, so the permutation never materializes.
+
+    `dtype`: expansion/contraction element type. bfloat16 (default) runs
+    the expansion chain and the big matmul at MXU native rate with f32
+    accumulation; float32 is available for bitwise-strict paths.
 
     W: [O,6,3] flat per-observation coupling blocks (J_c^T J_p);
     Hpp_inv: [P,3,3]; slot maps from `group_slots`. Fixed cameras get
@@ -102,7 +118,8 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
     C = H_cc_safe.shape[0]
     P, K = slot_to_obs.shape
     Wg = slot_gather(W.reshape(-1, 18), slot_to_obs, slot_mask)
-    Wg = Wg.reshape(P, K, 6, 3)
+    Wg = Wg.reshape(P, K, 6, 3).astype(dtype)
+    Hpp_inv = Hpp_inv.astype(dtype)
     Pc = _chunk_size(P, K, C)
     if P % Pc:  # round P up to a chunk multiple with zero contributions
         extra = Pc - P % Pc
@@ -119,11 +136,14 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
 
     def body(S_acc, chunk):
         cam_c, Wg_c, Minv_c = chunk
-        oh = (cam_c[..., None] == cam_range).astype(jnp.float32)  # [Pc,K,C]
-        A = jnp.einsum("pkc,pkia->paci", oh, Wg_c)                # [Pc,3,C,6]
-        A2 = A.reshape(Pc * 3, C * 6)
-        T = jnp.einsum("pab,pbx->pax", Minv_c, A.reshape(Pc, 3, C * 6))
-        S_acc = S_acc + A2.T @ T.reshape(Pc * 3, C * 6)
+        oh = (cam_c[..., None] == cam_range).astype(dtype)        # [Pc,K,C]
+        A = jnp.einsum("pkc,pkia->paic", oh, Wg_c,
+                       preferred_element_type=dtype)              # [Pc,3,6,C]
+        A2 = A.reshape(Pc * 3, 6 * C)
+        T = jnp.einsum("pab,pbx->pax", Minv_c, A.reshape(Pc, 3, 6 * C),
+                       preferred_element_type=dtype)
+        S_acc = S_acc + jnp.matmul(A2.T, T.reshape(Pc * 3, 6 * C),
+                                   preferred_element_type=jnp.float32)
         return S_acc, None
 
     chunks = (
@@ -131,10 +151,29 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
         Wg.reshape(n_chunks, Pc, K, 6, 3),
         Hpp_inv.reshape(n_chunks, Pc, 3, 3),
     )
-    S_sub, _ = jax.lax.scan(body, jnp.zeros((C * 6, C * 6), jnp.float32),
+    S_sub, _ = jax.lax.scan(body, jnp.zeros((6 * C, 6 * C), jnp.float32),
                             chunks)
     idx = jnp.arange(C)
-    S = (-S_sub.reshape(C, 6, C, 6)).at[idx, :, idx, :].add(H_cc_safe)
+    # Diagonal camera blocks: S[(i1,c),(i2,c)] += H_cc[c,i1,i2].
+    S = (-S_sub.reshape(6, C, 6, C)).at[:, idx, :, idx].add(H_cc_safe)
     S = S.reshape(6 * C, 6 * C)
-    m = jnp.repeat(cam_mask, 6)
+    m = jnp.tile(cam_mask, 6)  # ic order: camera index minor
     return S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+
+
+def solve_reduced_chol(S_ic, b_c, cam_mask):
+    """Direct solve of the IC-ordered reduced system by Cholesky.
+
+    XLA's TPU Cholesky on the windowed S (6C <= ~3k) measures ~0.2 ms —
+    versus ~13 ms for 100 block-Jacobi PCG iterations (each a tiny
+    latency-bound matvec in a sequential while loop; BA_PROFILE_r03) — and
+    is exact, so the LM step quality is strictly better. S is SPD by
+    damping + identity rows for fixed cameras.
+
+    b_c: [C,6] camera gradient. Returns dc [C,6].
+    """
+    C = b_c.shape[0]
+    rhs = (b_c * cam_mask[:, None]).T.reshape(-1)  # ic order
+    L = jnp.linalg.cholesky(S_ic)
+    x = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return x.reshape(6, C).T * cam_mask[:, None]

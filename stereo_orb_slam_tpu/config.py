@@ -45,6 +45,14 @@ class FrontendConfig:
     # from the intensity centroid of a radius-15 disc (standard ORB).
     patch_size: int = 31
     orientation_radius: int = 15
+    # Rotation-steered descriptors. Default FALSE = upright BRIEF, which is
+    # what the reference actually computes: cv::ORB::compute on externally
+    # detected corners never fills kp.angle, so its pattern is unrotated
+    # (ref src/visual_odometer.cpp:256-259). Upright also MEASURES better
+    # on realistic scenes (tests/test_realism.py) — the intensity-centroid
+    # angle jitters several degrees between views, flipping pattern bits.
+    # Enable for workloads with genuine in-plane camera roll.
+    oriented: bool = False
     # Gaussian-ish pre-smoothing used before sampling BRIEF tests.
     smoothing_ksize: int = 7
     # Matching: absolute Hamming distance gate and Lowe ratio
@@ -121,6 +129,12 @@ class BAConfig:
     # (P_pad * max_track_len) fits; larger/global problems stay matrix-free.
     dense_schur_max_cams: int = 512
     dense_schur_max_slots: int = 4_194_304
+    # Assemble the dense reduced system in bfloat16 (f32 accumulation).
+    # MEASURED: bf16 assembly is ~1.7x faster than f32 on the MXU but the
+    # perturbed step directions stall deep convergence (cost plateaus at
+    # ~1e-1 where f32+Cholesky reaches ~0 on the recovery test), so f32 is
+    # the default; flip on only for throughput-over-precision experiments.
+    dense_assemble_bf16: bool = False
 
 
 @dataclass(frozen=True)
