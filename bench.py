@@ -84,19 +84,20 @@ def bench_frontend(n_warm=3, n_iter=20):
     prev = empty_slots(fe.num_features)
     # Build a real prev state (so temporal matching + RANSAC run hot).
     res = frontend_step_fused(img_l, img_r, prev, jnp.asarray(False), key, rig,
-                              maxd, fe, rc, True, orb._STEER)
+                              maxd, fe, rc, True, orb.steer_table(fe.oriented))
     prev = res.slots
 
     # A real overlapping sequence: temporal matches + RANSAC operate on true
     # correspondences, so downstream masks carry realistic occupancy.
     variants = [(jnp.asarray(a), jnp.asarray(b)) for a, b in seq[1:]]
+    steer = orb.steer_table(fe.oriented)
 
     TRUE = jnp.asarray(True)
 
     def one(i, prev):
         a, b2 = variants[i % len(variants)]
         return frontend_step_fused(a, b2, prev, TRUE, key, rig, maxd,
-                                   fe, rc, True, orb._STEER)
+                                   fe, rc, True, steer)
 
     for i in range(n_warm):
         out = one(i, prev)
@@ -142,7 +143,6 @@ def bench_frontend(n_warm=3, n_iter=20):
         last, tfs = jax.lax.scan(body, prev, (imgs_l, imgs_r))
         return last, tfs[-1]
 
-    steer = orb._STEER
     last, tf = run_chain(imgs_l, imgs_r, prev, steer)
     jax.block_until_ready(tf)
 

@@ -71,7 +71,7 @@ def detect_and_describe(img, fe: FrontendConfig, steer=None):
     jit unit roughly halves frontend compile time vs one fused program,
     which matters on TPU where each compile is tens of seconds."""
     if steer is None:
-        steer = orb._STEER
+        steer = orb.steer_table(fe.oriented)
     return _detect_and_describe_impl(img, steer, fe)
 
 
@@ -480,7 +480,7 @@ class VisualOdometer:
             self.fe,
             self.rc,
             self.rectified,
-            orb._STEER,
+            orb.steer_table(self.fe.oriented),
         )
         self._carry_dev = None  # host mirrors are now ahead of the device
         return self._ingest(res)
@@ -530,7 +530,7 @@ class VisualOdometer:
             self.fe,
             self.rc,
             self.rectified,
-            orb._STEER,
+            orb.steer_table(self.fe.oriented),
         )
         handle = {"k": k, "bow": None}
         if bow is None:

@@ -9,22 +9,32 @@ detected corners (descriptors only, not detection — ref
   `lax.dynamic_slice` (contiguous rows — compiles and runs orders of
   magnitude faster on TPU than image-wide gathers, which XLA lowers
   pathologically),
-- per-corner orientation comes from intensity-centroid moments of a
-  radius-R disc computed as one [N, P^2] x [P^2, 2] matmul,
-- the corner orientation is quantized to K=30 bins (2*pi/30 = 12 degree
-  increments — the discretization the ORB paper itself uses for its steered
-  pattern lookup table), and the 256 binary tests are read through
-  PRECOMPUTED per-bin 0/1 selection matrices: sampling every corner's
-  rotated pattern is K masked [N, P^2] @ [P^2, 512] matmuls on the MXU.
-  This replaces per-corner gathers entirely — XLA gathers on TPU are both
-  pathologically slow to compile (minutes) and slow to run (ms); the
-  matmul formulation is sub-millisecond,
+- by default descriptors are UPRIGHT (no rotation steering). This mirrors
+  the reference exactly: cv::ORB::compute on externally detected corners
+  (ref `src/visual_odometer.cpp:256-259`) receives keypoints with
+  angle = -1 and never recomputes orientation, so the reference pipeline
+  runs unrotated BRIEF end to end. MEASURED on the realistic canyon scene
+  (tests/test_realism.py): upright recall 0.59/0.62 (stereo/temporal)
+  vs 0.58/0.60 for cv2 and 0.45/0.51 for our steered mode — the
+  intensity-centroid angle jitters 4-20 degrees between views of the same
+  corner, which flips pattern bits. Upright is also cheaper: one
+  [N, P^2] @ [P^2, 512] bilinear-sampling matmul, no moments, no bin loop.
+- OPTIONAL rotation steering (`FrontendConfig.oriented=True`, for use
+  cases with real in-plane rotation): orientation from intensity-centroid
+  moments (one matmul), quantized to K=30 bins with soft interpolation
+  between adjacent bins, pattern read through PRECOMPUTED per-bin
+  bilinear-weight selection matrices: K masked [N, P^2] @ [P^2, 512]
+  matmuls on the MXU. This replaces per-corner gathers entirely — XLA
+  gathers on TPU are both pathologically slow to compile (minutes) and
+  slow to run (ms); the matmul formulation is sub-millisecond,
 - bits are packed into uint32[8] words (bit j of word w = test 32*w+j).
 
 We deliberately do NOT copy OpenCV's learned `bit_pattern_31_` table: both
 sides of every matching problem (stereo, temporal, loop closure, vocabulary)
-use our descriptors, so cross-library compatibility buys nothing, and a
-seeded isotropic pattern measures within a few percent on matching recall.
+use our descriptors, so cross-library compatibility buys nothing; a seeded
+isotropic pattern was verified at (slightly above) cv2 recall parity on the
+realistic scene (tests/test_realism.py), and a corpus-learned greedy
+decorrelated pattern measured no better.
 
 Descriptor distance is Hamming; see ops/match.py for the MXU formulation.
 """
@@ -74,31 +84,51 @@ _PATTERN = jnp.asarray(make_test_pattern())  # [256, 2, 2]
 K_BINS = 30
 
 
-def _make_steer_tables() -> np.ndarray:
-    """[K_BINS, PATCH*PATCH, 512] bf16 0/1 selection matrices.
+def _make_steer_tables(k_bins: int = K_BINS) -> np.ndarray:
+    """[k_bins, PATCH*PATCH, 512] bf16 BILINEAR-weight selection matrices.
 
     Column layout: columns [0, 256) sample point "a" of each test, columns
-    [256, 512) sample point "b". Sampling is nearest-neighbor at the rotated
-    offsets (OpenCV ORB also rounds, via cvRound in GET_VALUE).
+    [256, 512) sample point "b". Each column holds the 4 bilinear weights
+    of the rotated sample position (sub-pixel sampling measures ~1-2%
+    better recall than nearest-neighbor rounding and costs nothing at
+    runtime — the table is precomputed).
     """
     pat = make_test_pattern()  # [256, 2, 2]
-    G = np.zeros((K_BINS, PATCH * PATCH, 2 * N_TESTS), np.float32)
-    for k in range(K_BINS):
-        th = 2.0 * np.pi * k / K_BINS
+    G = np.zeros((k_bins, PATCH * PATCH, 2 * N_TESTS), np.float32)
+    for k in range(k_bins):
+        th = 2.0 * np.pi * k / k_bins
         c, s = np.cos(th), np.sin(th)
         for point in range(2):
             dx = pat[:, point, 0]
             dy = pat[:, point, 1]
-            rx = c * dx - s * dy
-            ry = s * dx + c * dy
-            xi = np.clip(np.round(PATCH_R + rx), 0, PATCH - 1).astype(np.int64)
-            yi = np.clip(np.round(PATCH_R + ry), 0, PATCH - 1).astype(np.int64)
+            x = np.clip(PATCH_R + c * dx - s * dy, 0, PATCH - 1.001)
+            y = np.clip(PATCH_R + s * dx + c * dy, 0, PATCH - 1.001)
+            x0 = np.floor(x).astype(np.int64)
+            y0 = np.floor(y).astype(np.int64)
+            ax = x - x0
+            ay = y - y0
             cols = np.arange(N_TESTS) + point * N_TESTS
-            G[k, yi * PATCH + xi, cols] = 1.0
+            for (yy, xx, w) in (
+                (y0, x0, (1 - ay) * (1 - ax)),
+                (y0, np.minimum(x0 + 1, PATCH - 1), (1 - ay) * ax),
+                (np.minimum(y0 + 1, PATCH - 1), x0, ay * (1 - ax)),
+                (np.minimum(y0 + 1, PATCH - 1),
+                 np.minimum(x0 + 1, PATCH - 1), ay * ax),
+            ):
+                np.add.at(G[k], (yy * PATCH + xx, cols), w)
     return G
 
 
 _STEER = jnp.asarray(_make_steer_tables(), jnp.bfloat16)
+# Upright (unrotated) table — the default descriptor mode; kept with a
+# leading singleton bin axis so jitted signatures are uniform with _STEER.
+_UPRIGHT = jnp.asarray(_make_steer_tables(1), jnp.bfloat16)
+
+
+def steer_table(oriented: bool):
+    """The sampling table for compute_descriptors: [1, P^2, 512] upright
+    (default, reference-faithful) or [K_BINS, P^2, 512] steered."""
+    return _STEER if oriented else _UPRIGHT
 
 
 def smooth_image(img, ksize: int = 7):
@@ -191,7 +221,7 @@ def compute_descriptors(
       angle: [N] float32 orientation (radians).
     """
     if steer is None:
-        steer = _STEER
+        steer = _UPRIGHT
     return _compute_descriptors_impl(
         img, xy, valid, steer, smoothing_ksize, orientation_radius
     )
@@ -219,32 +249,45 @@ def _compute_descriptors_impl(
         patches = extract_patches(padded.astype(jnp.bfloat16), xy)
     flat16 = patches.reshape(n, PATCH * PATCH)
 
-    # Orientation: intensity-centroid moments over a disc (standard ORB),
-    # as a single [N, P^2] @ [P^2, 2] matmul (bf16 inputs, f32 accumulate —
-    # theta is quantized to 12-degree bins below, so bf16 moments are
-    # immaterial).
-    kx, ky = _disc_masks(orientation_radius, PATCH)
-    mom_k = jnp.stack([kx.reshape(-1), ky.reshape(-1)], axis=1)  # [P^2, 2]
-    moments = jnp.dot(flat16, mom_k.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    theta = jnp.arctan2(moments[:, 1], moments[:, 0])
+    k_bins = steer.shape[0]  # static under jit
+    if k_bins == 1:
+        # Upright (default, reference-faithful — see module docstring):
+        # one bilinear-sampling matmul, no orientation at all.
+        theta = jnp.zeros((n,), jnp.float32)
+        vals = jnp.dot(flat16, steer[0], preferred_element_type=jnp.float32)
+    else:
+        # Orientation: intensity-centroid moments over a disc (standard
+        # ORB), as a single [N, P^2] @ [P^2, 2] matmul (bf16 inputs, f32
+        # accumulate — theta feeds 12-degree bins below, so bf16 moments
+        # are immaterial).
+        kx, ky = _disc_masks(orientation_radius, PATCH)
+        mom_k = jnp.stack([kx.reshape(-1), ky.reshape(-1)], axis=1)
+        moments = jnp.dot(flat16, mom_k.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        theta = jnp.arctan2(moments[:, 1], moments[:, 0])
 
-    # Quantize to K_BINS steering bins; sample all 512 test points through
-    # the bin's 0/1 selection matrix: K masked MXU matmuls, no gathers.
-    bin_f = jnp.round(theta * (K_BINS / (2.0 * jnp.pi)))
-    bin_id = jnp.mod(bin_f.astype(jnp.int32), K_BINS)
+        # Soft bin interpolation: each corner's samples lerp between the
+        # two adjacent steering tables (measured ~4% recall over hard
+        # nearest-bin assignment — the 12-degree quantization step moves
+        # outer pattern samples by up to 1.4 px).
+        bin_f = theta * (k_bins / (2.0 * jnp.pi))
+        k0f = jnp.floor(bin_f)
+        frac = (bin_f - k0f).astype(jnp.float32)
+        k0 = jnp.mod(k0f.astype(jnp.int32), k_bins)
+        k1 = jnp.mod(k0 + 1, k_bins)
 
-    def body(k, acc):
-        mask = (bin_id == k).astype(jnp.bfloat16)
-        contrib = jnp.dot(
-            flat16 * mask[:, None], steer[k],
-            preferred_element_type=jnp.float32,
+        def body(k, acc):
+            wk = (jnp.where(k0 == k, 1.0 - frac, 0.0)
+                  + jnp.where(k1 == k, frac, 0.0)).astype(jnp.bfloat16)
+            contrib = jnp.dot(
+                flat16 * wk[:, None], steer[k],
+                preferred_element_type=jnp.float32,
+            )
+            return acc + contrib
+
+        vals = jax.lax.fori_loop(
+            0, k_bins, body, jnp.zeros((n, 2 * N_TESTS), jnp.float32)
         )
-        return acc + contrib
-
-    vals = jax.lax.fori_loop(
-        0, K_BINS, body, jnp.zeros((n, 2 * N_TESTS), jnp.float32)
-    )
 
     bits = vals[:, :N_TESTS] < vals[:, N_TESTS:]   # [N, 256]
     desc = pack_bits(bits)

@@ -111,7 +111,7 @@ class MultiSequenceSLAM:
 
         res = self.step(
             il, ir, self.prev, jnp.asarray(self.initialized), keys,
-            self.rig_batch, self.max_d, orb_mod._STEER,
+            self.rig_batch, self.max_d, orb_mod.steer_table(self.fe.oriented),
         )
 
         transforms = []

@@ -68,7 +68,11 @@ def test_descriptors_match_under_translation(rng):
 
 
 def test_descriptor_rotation_invariance(rng):
-    """Descriptors survive a 30-degree in-plane rotation (ORB steering)."""
+    """STEERED descriptors (oriented=True mode, steer=orb._STEER) survive a
+    30-degree in-plane rotation. The default mode is upright/unrotated —
+    reference-faithful and higher-recall on realistic scenes (see
+    ops/orb.py docstring + tests/test_realism.py) — so steering is the
+    opt-in path exercised here."""
     import scipy.ndimage as ndi
 
     base = random_texture(rng, 320, 320)
@@ -76,7 +80,8 @@ def test_descriptor_rotation_invariance(rng):
     rot = ndi.rotate(base, ang, reshape=False, order=1, mode="nearest")
 
     xy1, _, v1 = detect.detect_corners(jnp.asarray(base), num_features=128, border=60)
-    d1, _ = orb.compute_descriptors(jnp.asarray(base), xy1, v1)
+    d1, _ = orb.compute_descriptors(jnp.asarray(base), xy1, v1,
+                                    steer=orb._STEER)
 
     # Rotate corner coords into the rotated image (scipy rotates about center).
     c = (np.array(base.shape[::-1], np.float32) - 1) / 2
@@ -88,7 +93,8 @@ def test_descriptor_rotation_invariance(rng):
         (xy2[:, 0] > 60) & (xy2[:, 0] < 260) & (xy2[:, 1] > 60) & (xy2[:, 1] < 260)
     )
     v2 = v1 & in_b
-    d2, _ = orb.compute_descriptors(jnp.asarray(rot), xy2, v2)
+    d2, _ = orb.compute_descriptors(jnp.asarray(rot), xy2, v2,
+                                    steer=orb._STEER)
 
     both = np.asarray(v1 & v2)
     dist = np.asarray(match.hamming_matrix(d1, d2, v1, v2))

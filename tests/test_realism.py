@@ -1,0 +1,216 @@
+"""Realistic-appearance validation (r2 verdict item 5).
+
+The r1/r2 synthetic scenes stamped constant-appearance patches, which makes
+matching artificially easy (and, on blocky textures, artificially brittle
+under noise). This suite drives the front end on tests/synth.py's
+realistic renderers:
+
+- CanyonScene: continuous piecewise-planar world — every pixel textured,
+  appearance change under motion is a true per-plane homography, exact
+  per-pixel depth/reprojection ground truth. The regime the reference's
+  front end actually runs in (ref src/visual_odometer.cpp:232-289 on real
+  KITTI frames).
+- CloudScene(warp=True): tilted planar landmark patches (perspective warp),
+  illumination drift, near-field occluders.
+
+Pinned claims:
+1. The REFERENCE matching gates — Hamming distance 30, ratio 0.5
+   (ref src/params.h:12,15) — hold on the realistic scene, at the
+   reference's feature density, under sensor noise and exposure drift.
+2. Our descriptor recall is within 5% of cv2.ORB's on the same corners
+   under true viewpoint-dependent appearance change (verified against
+   exact reprojection GT, not proxy flow).
+"""
+
+import numpy as np
+import pytest
+
+from synth import CanyonScene, CloudScene, forward_yaw_trajectory
+
+from stereo_orb_slam_tpu.config import FrontendConfig, RansacConfig
+from stereo_orb_slam_tpu.frontend.odometer import VisualOdometer
+from stereo_orb_slam_tpu.utils import evaluate
+from stereo_orb_slam_tpu.worldmap import WorldMap
+
+# The reference gates, verbatim (ref src/params.h:12,15).
+REF_GATES = dict(match_max_distance=30, match_ratio=0.5)
+
+
+def _run_vo(scene, traj, fe, rc=None):
+    rc = rc or RansacConfig(final_model_fitting=True, min_pairs=8)
+    world = WorldMap(feat_slots=fe.num_features)
+    vo = VisualOdometer(world, scene.make_rig(), fe, rc, seed=0)
+    fails = 0
+    for il, ir in scene.render_sequence(traj):
+        vo.track(il, ir)
+        fails += not vo.success
+    est = world.pose_global[: world.num_frames]
+    ate = evaluate.ate_rmse(est, traj[: world.num_frames])
+    return world, fails, ate
+
+
+def test_reference_gates_hold_on_canyon(rng):
+    """Moderate sensor noise + exposure drift, reference gates, continuous
+    textured world: the front end must track with zero RANSAC failures."""
+    traj = forward_yaw_trajectory(12, speed=0.25, yaw_rate_deg=1.5)
+    scene = CanyonScene(rng, noise_sigma=1.5, illum_drift=0.1)
+    fe = FrontendConfig(num_features=384, **REF_GATES)
+    world, fails, ate = _run_vo(scene, traj, fe)
+    assert world.num_frames == 12
+    assert fails <= 1, f"fails={fails}"
+    assert ate < 0.25, f"ATE {ate:.3f} m"
+
+
+def test_reference_gates_heavy_noise_canyon(rng):
+    """sigma=3 grey levels + strong drift at the reference's feature
+    density (768 features on 320x480 ~= 1000 on a KITTI frame): the
+    reference gates still hold — no relaxation needed on realistic
+    texture statistics (the r2 blocky-texture relaxation is obsolete)."""
+    traj = forward_yaw_trajectory(12, speed=0.25, yaw_rate_deg=1.5)
+    scene = CanyonScene(rng, noise_sigma=3.0, illum_drift=0.15)
+    fe = FrontendConfig(num_features=768, **REF_GATES)
+    world, fails, ate = _run_vo(scene, traj, fe)
+    assert fails <= 2, f"fails={fails}"
+    assert ate < 0.25, f"ATE {ate:.3f} m"
+
+
+def test_reference_gates_warped_patches_with_occlusion(rng):
+    """CloudScene realism mode: tilted planar patches (viewpoint-dependent
+    appearance), exposure drift, and near-field occluders sweeping across
+    under parallax — reference gates, clean sensor."""
+    traj = forward_yaw_trajectory(14, speed=0.25, yaw_rate_deg=1.5)
+    scene = CloudScene(
+        rng, traj, fx=300.0, baseline=0.54, h=320, w=480,
+        depth_range=(5.0, 20.0), n_per_anchor=120, anchor_stride=4,
+        warp=True, tilt_max_deg=25.0, illum_drift=0.1,
+        n_occluders_per_anchor=1,
+    )
+    fe = FrontendConfig(num_features=384, **REF_GATES)
+    world, fails, ate = _run_vo(scene, traj, fe)
+    assert fails <= 1, f"fails={fails}"
+    assert ate < 0.3, f"ATE {ate:.3f} m"
+
+
+# ----------------------------------------------------- cv2 recall parity
+def _cv2_descriptors(img, xy):
+    """cv2.ORB descriptors at given corners; hash-join by coordinates (cv2
+    drops border keypoints and may reorder — a positional walk is fragile,
+    r2 verdict weak #6)."""
+    cv2 = pytest.importorskip("cv2")
+    orb = cv2.ORB_create(nfeatures=len(xy))
+    kps = [cv2.KeyPoint(float(x), float(y), 31) for x, y in xy]
+    kept, desc = orb.compute(np.clip(img, 0, 255).astype(np.uint8), kps)
+    out = np.zeros((len(xy), 32), np.uint8)
+    ok = np.zeros(len(xy), bool)
+    if desc is None:
+        return out, ok
+    lut = {(round(k.pt[0], 2), round(k.pt[1], 2)): i
+           for i, k in enumerate(kept)}
+    for i, (x, y) in enumerate(xy):
+        j = lut.get((round(float(x), 2), round(float(y), 2)))
+        if j is not None:
+            out[i] = desc[j]
+            ok[i] = True
+    return out, ok
+
+
+def _our_descriptors(img, xy, valid):
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.ops import orb
+
+    d, _ = orb.compute_descriptors(jnp.asarray(img), jnp.asarray(xy),
+                                   jnp.asarray(valid))
+    return np.asarray(d).view(np.uint8).reshape(len(xy), 32), np.asarray(valid)
+
+
+def _recall(d_a, ok_a, xy_a, d_b, ok_b, xy_b, gt_b, gt_ok, ratio=0.8):
+    """Brute-force Hamming kNN(2)+ratio; correct = matched B corner within
+    1.5 px of A's exact reprojection into B."""
+    bits_a = np.unpackbits(d_a, axis=1).astype(np.int32)
+    bits_b = np.unpackbits(d_b, axis=1).astype(np.int32)
+    D = (bits_a[:, None, :] != bits_b[None, :, :]).sum(-1)
+    D = np.where(ok_b[None, :], D, 10 ** 6)
+    correct = queries = 0
+    for i in range(len(d_a)):
+        if not (ok_a[i] and gt_ok[i]):
+            continue
+        order = np.argsort(D[i])
+        d1, d2 = D[i][order[0]], D[i][order[1]]
+        if d1 >= 10 ** 6:
+            continue
+        queries += 1
+        if d2 > 0 and d1 / max(d2, 1) > ratio:
+            continue
+        j = order[0]
+        if np.hypot(xy_b[j, 0] - gt_b[i, 0], xy_b[j, 1] - gt_b[i, 1]) < 1.5:
+            correct += 1
+    return correct / max(queries, 1)
+
+
+def test_orb_cv2_recall_parity_on_canyon(rng):
+    """Descriptor recall parity vs cv2.ORB under TRUE viewpoint change
+    (forward+yaw between frames; stereo across the baseline), judged
+    against exact ray-traced reprojection GT. Our recall must be within
+    5% of cv2's (r2 verdict item 5 — the r1 parity test only covered
+    constant-appearance lateral motion)."""
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.ops import detect
+
+    scene = CanyonScene(rng)
+    traj = forward_yaw_trajectory(3, speed=0.3, yaw_rate_deg=2.0)
+    img_a = scene.render_pose(traj[0])
+    img_s = scene.render_pose(traj[0], right=True)   # stereo pair
+    img_t = scene.render_pose(traj[1])               # temporal pair
+
+    fe = FrontendConfig(num_features=384)
+
+    def corners(img):
+        xy, _, v = detect.detect_corners(
+            jnp.asarray(img), num_features=fe.num_features)
+        return np.asarray(xy), np.asarray(v)
+
+    xy_a, v_a = corners(img_a)
+    results = {}
+    for (name, img_b, t_b, right_b) in (
+        ("stereo", img_s, traj[0], True),
+        ("temporal", img_t, traj[1], False),
+    ):
+        xy_b, v_b = corners(img_b)
+        gt_b, gt_ok = scene.reproject(xy_a, traj[0], t_b, right_b=right_b)
+        d_a_o, ok_a_o = _our_descriptors(img_a, xy_a, v_a)
+        d_b_o, ok_b_o = _our_descriptors(img_b, xy_b, v_b)
+        d_a_c, ok_a_c = _cv2_descriptors(img_a, xy_a)
+        d_b_c, ok_b_c = _cv2_descriptors(img_b, xy_b)
+        r_ours = _recall(d_a_o, ok_a_o & v_a, xy_a, d_b_o, ok_b_o & v_b,
+                         xy_b, gt_b, gt_ok)
+        r_cv2 = _recall(d_a_c, ok_a_c & v_a, xy_a, d_b_c, ok_b_c & v_b,
+                        xy_b, gt_b, gt_ok)
+        results[name] = (r_ours, r_cv2)
+
+    for name, (r_ours, r_cv2) in results.items():
+        assert r_cv2 > 0.4, f"{name}: cv2 sanity failed {results}"
+        assert r_ours >= r_cv2 - 0.05, f"{name} recall: {results}"
+
+
+def test_reproject_ground_truth_consistency(rng):
+    """The GT transfer itself: reprojection of left-view pixels into the
+    SAME view is the identity, and stereo reprojection lands at disparity
+    fx*b/z of the traced depth."""
+    scene = CanyonScene(rng)
+    T = np.eye(4)
+    uv = np.stack([rng.uniform(40, scene.w - 40, 64),
+                   rng.uniform(40, scene.h - 40, 64)], 1)
+    same, ok = scene.reproject(uv, T, T)
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(same[ok], uv[ok], atol=1e-6)
+
+    st, ok2 = scene.reproject(uv, T, T, right_b=True)
+    depth = scene.depth_map(T)
+    z = depth[uv[:, 1].astype(int), uv[:, 0].astype(int)]
+    disp_expected = scene.fx * scene.baseline / z
+    got = uv[:, 0] - st[:, 0]
+    sel = ok2 & np.isfinite(z)
+    np.testing.assert_allclose(got[sel], disp_expected[sel], atol=0.35)
+    np.testing.assert_allclose(st[sel, 1], uv[sel, 1], atol=1e-6)
