@@ -1,19 +1,31 @@
-"""Stage-level roofline profile of the BA LM iteration on TPU.
+"""Op-level roofline profile of the BA LM iteration on TPU.
 
-Times each stage of the dense-Schur LM iteration as an isolated jitted
-program with the sync-differencing methodology (see bench.py), estimates
-the FLOP count of the dominant contractions, and reports achieved FLOP/s
-vs the v5e single-chip peak (197 bf16 / ~49 f32 TFLOP/s MXU) so `bench.py`
-can report an honest MFU figure.
+Methodology note (r3): timing each stage as an ISOLATED jitted program is
+invalid on the remote-attached relay — arguments re-stream per program, so
+an isolated stage can "measure" 10x the time it takes inside the fused
+solve. This tool instead:
+
+1. times the PRODUCTION whole-solve program (ba_solve, chain LM iterations
+   in one dispatch) with the sync-differencing methodology (bench.py), and
+2. attributes on-device time with jax.profiler: the trace's leaf device op
+   durations are mapped back to source lines via the compiled HLO's op
+   metadata, then aggregated per (file, line) and per file.
 
 Problem size matches bench.bench_ba: C=200 cams, P=20k points, O=120k obs
-(the global-BA envelope of ref src/bundle_adjuster.cpp:13-36).
+(the global-BA envelope of ref src/bundle_adjuster.cpp:13-36). The FLOP
+model yields achieved FLOP/s vs the v5e single-chip peak (~49 f32 MXU
+TFLOP/s) for an honest MFU figure.
 
-Usage: python benchmarks/ba_profile.py [--C 200 --P 20000 --obs_per_cam 600]
+Usage: python -m benchmarks.ba_profile [--C 200 --P 20000 --obs_per_cam 600]
+       [--trace_dir /tmp/ba_trace] [--out BA_PROFILE_r03.json]
 """
 
 import argparse
+import collections
+import glob
+import gzip
 import json
+import re
 import time
 
 import numpy as np
@@ -27,8 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from stereo_orb_slam_tpu.backend import schur_dense  # noqa: E402
 from stereo_orb_slam_tpu.backend.ba import (  # noqa: E402
-    BAProblem, _damp_blocks, _inv3, _inv6_gj, build_normal_equations,
-    lm_init, lm_iteration,
+    BAProblem, ba_solve, ba_solve_impl,
 )
 from stereo_orb_slam_tpu.config import BAConfig  # noqa: E402
 
@@ -74,83 +85,29 @@ def main():
     ap.add_argument("--C", type=int, default=200)
     ap.add_argument("--P", type=int, default=20000)
     ap.add_argument("--obs_per_cam", type=int, default=600)
-    ap.add_argument("--cg_iterations", type=int, default=100)
+    ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--trace_dir", default="/tmp/ba_profile_trace")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     prob, slots, K = make_problem(args.C, args.P, args.obs_per_cam, rng)
     C, P = args.C, args.P
     O = args.C * args.obs_per_cam
-    cfg = BAConfig(cg_iterations=args.cg_iterations, function_tolerance=0.0)
+    cfg = BAConfig(function_tolerance=0.0)
+    chain = args.chain
 
-    # ---- isolated stage programs ------------------------------------------
-    # Slot maps / masks / lam are passed as ARGUMENTS (not closures): closed-
-    # over device arrays become HLO constants — long compiles + re-streamed
-    # per call on the relay transport (advisor r2, CLAUDE.md rule).
-    # Production dense path: camera reductions ride a constant one-hot
-    # matmul (backend/ba._seg_sum_cams).
-    cam_onehot = jnp.asarray(
-        (np.asarray(prob.obs_cam)[None, :] == np.arange(args.C)[:, None]
-         ).astype(np.float32))
+    carry, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots)
+    jax.block_until_ready(carry.prob.pose6)
+    assert int(n_it) == chain
 
-    @jax.jit
-    def stage_build(prob, slots, cam_onehot):
-        return build_normal_equations(prob, cfg.huber_delta,
-                                      dense_slots=slots,
-                                      cam_onehot=cam_onehot)
-
-    H_cc, H_pp, W, b_c, b_p, cost = stage_build(prob, slots, cam_onehot)
-    lam = jnp.float32(1e-4)
-
-    @jax.jit
-    def stage_damp_inv(H_cc, H_pp, point_mask, cam_mask, lam):
-        H_cc_l = _damp_blocks(H_cc, lam)
-        H_pp_l = _damp_blocks(H_pp, lam)
-        eye3 = jnp.eye(3, dtype=H_pp_l.dtype)
-        H_pp_l = jnp.where(point_mask[:, None, None] > 0, H_pp_l,
-                           eye3[None])
-        Hpp_inv = _inv3(H_pp_l)
-        eye6 = jnp.eye(6, dtype=H_cc_l.dtype)
-        H_cc_safe = jnp.where(cam_mask[:, None, None] > 0, H_cc_l,
-                              eye6[None])
-        M_inv = _inv6_gj(H_cc_safe + 1e-8 * eye6[None])
-        return Hpp_inv, H_cc_safe, M_inv
-
-    Hpp_inv, H_cc_safe, M_inv = stage_damp_inv(
-        H_cc, H_pp, prob.point_mask, prob.cam_mask, lam
-    )
-
-    @jax.jit
-    def stage_assemble(H_cc_safe, W, Hpp_inv, slots, cam_mask):
-        return schur_dense.assemble_schur(
-            H_cc_safe, W, Hpp_inv, slots[0], slots[1], slots[2], cam_mask,
-            dtype=jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32,
-        )
-
-    S = stage_assemble(H_cc_safe, W, Hpp_inv, slots, prob.cam_mask)
-
-    @jax.jit
-    def stage_chol(S, b_c, cam_mask):
-        return schur_dense.solve_reduced_chol(S, b_c, cam_mask)
-
-    dc = stage_chol(S, b_c, prob.cam_mask)
-
-    @jax.jit
-    def stage_lm(carry, slots, cam_onehot):
-        return lm_iteration(carry, cfg, slots, cam_onehot=cam_onehot)
-
-    carry = lm_init(prob, cfg, slots, cam_onehot=cam_onehot)
-    out = stage_lm(carry, slots, cam_onehot)
-    jax.block_until_ready(out[0].prob.pose6)
-
-    # ---- sync-differencing timings ----------------------------------------
+    # ---- whole-solve timing (sync-differencing; see bench.py) -------------
     noop = jax.jit(lambda x: x * 1.0)
     zz = jnp.ones((8, 8), jnp.float32)
     _ = np.asarray(noop(zz))
 
-    def tmin(fn, n=None):
-        n = n or args.iters
+    def tmin(fn, n):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
@@ -160,47 +117,84 @@ def main():
         return float(np.min(ts[1:]))
 
     rtt = tmin(lambda: noop(zz), max(8, args.iters))
-    t_build = tmin(lambda: stage_build(prob, slots, cam_onehot)) - rtt
-    t_damp = tmin(lambda: stage_damp_inv(H_cc, H_pp, prob.point_mask,
-                                         prob.cam_mask, lam)) - rtt
-    t_assemble = tmin(lambda: stage_assemble(H_cc_safe, W, Hpp_inv, slots,
-                                             prob.cam_mask)) - rtt
-    t_chol = tmin(lambda: stage_chol(S, b_c, prob.cam_mask)) - rtt
-    t_lm = tmin(lambda: stage_lm(carry, slots, cam_onehot)) - rtt
+    t_solve = tmin(
+        lambda: ba_solve(prob, jnp.int32(chain), cfg,
+                         dense_slots=slots)[0].prob.pose6,
+        args.iters,
+    ) - rtt
+    it_ms = t_solve / chain * 1e3
+
+    # ---- trace + HLO source attribution -----------------------------------
+    lowered = jax.jit(ba_solve_impl, static_argnames=("cfg",)).lower(
+        prob, jnp.int32(chain), cfg, dense_slots=slots)
+    hlo = lowered.compile().as_text()
+    srcmap = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+) = .*?metadata=\{[^}]*?source_file=\"([^\"]+)\""
+        r"[^}]*?source_line=(\d+)", hlo,
+    ):
+        srcmap[m.group(1)] = (m.group(2).split("/")[-1], int(m.group(3)))
+
+    jax.profiler.start_trace(args.trace_dir)
+    carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots)
+    jax.block_until_ready(carry.prob.pose6)
+    jax.profiler.stop_trace()
+
+    tr = sorted(glob.glob(
+        args.trace_dir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(tr) as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    pids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    by_line = collections.Counter()
+    by_file = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
+            continue
+        nm = e["name"]
+        if nm.startswith("jit_") or nm.startswith("while"):
+            continue  # container events double-count their children
+        d = e.get("dur", 0)
+        total += d
+        src = srcmap.get(nm.lstrip("%"))
+        by_line[src or ("<unattributed>", 0)] += d
+        by_file[(src or ("<unattributed>", 0))[0]] += d
 
     # ---- FLOP model --------------------------------------------------------
-    # assemble_schur: per point-chunk  S += A^T (blockdiag(Hpp_inv) A) with
-    # A [3P,6C]: 2*(3P)*(6C)^2 for the big matmul + 2*P*K*C*18 one-hot expand.
-    P_pad = slots[0].shape[0]
+    P_pad = int(slots[0].shape[0])
     flops_assemble = 2 * (3 * P_pad) * (6 * C) ** 2 + 2 * P_pad * K * C * 18
-    # Direct Cholesky on S [6C,6C]: ~(6C)^3/3 + 2 triangular solves.
     flops_chol = (6 * C) ** 3 // 3 + 2 * (6 * C) ** 2
-    # build: residual+jacobian ~500 flops/obs + block products 369*2/obs
-    #        + gather-reduce point sums ~ (9+3)*K flops/point.
     flops_build = O * (500 + 2 * (36 * 4 + 18 * 4 + 24 + 12)) + P_pad * K * 12
     flops_iter = flops_assemble + flops_chol + flops_build
+    it_s = 1e3 / it_ms
 
     result = {
-        "what": "dense-Schur LM stage profile (sync-differenced device ms)",
-        "problem": {"C": C, "P": P, "O": O, "K_slots": K, "P_pad": P_pad,
-                    "cg_iterations": args.cg_iterations},
+        "what": "whole-solve BA timing + trace-attributed device profile",
+        "problem": {"C": C, "P": P, "O": O, "K_slots": K, "P_pad": P_pad},
         "rtt_ms": round(rtt * 1e3, 2),
-        "stage_ms": {
-            "build_normal_equations": round(t_build * 1e3, 2),
-            "damp+inverses": round(t_damp * 1e3, 2),
-            "assemble_schur": round(t_assemble * 1e3, 2),
-            "cholesky_solve": round(t_chol * 1e3, 2),
+        "lm_iteration_ms": round(it_ms, 3),
+        "lm_iterations_per_sec": round(it_s, 2),
+        "device_ms_per_iter_traced": round(total / 1e3 / chain, 3),
+        "per_file_ms_per_iter": {
+            k: round(v / 1e3 / chain, 3) for k, v in by_file.most_common()
         },
-        "lm_iteration_ms": round(t_lm * 1e3, 2),
-        "stage_sum_ms": round(
-            (t_build + t_damp + t_assemble + t_chol) * 1e3, 2),
+        "top_lines_ms_per_iter": {
+            f"{f}:{l}": round(v / 1e3 / chain, 3)
+            for (f, l), v in by_line.most_common(12)
+        },
         "flops_per_iter_G": round(flops_iter / 1e9, 1),
-        "achieved_tflops": round(flops_iter / max(t_lm, 1e-6) / 1e12, 2),
-        "mfu_vs_f32_peak_49T": round(
-            flops_iter / max(t_lm, 1e-6) / 49e12, 3
-        ),
+        "achieved_tflops": round(flops_iter * it_s / 1e12, 2),
+        "mfu_vs_f32_peak_49T": round(flops_iter * it_s / 49e12, 4),
     }
-    print(json.dumps(result, indent=1))
+    out = json.dumps(result, indent=1)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
 
 
 if __name__ == "__main__":

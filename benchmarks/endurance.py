@@ -1,0 +1,211 @@
+"""Endurance drive: 2,000+ frames of live batched SLAM with loop closures.
+
+r2 verdict item 3: nothing previously showed the live loop's fps curve
+stays flat past frame ~200 — BoW database capacity-doubling forces pipeline
+drains + new jit shapes, BA windows walk through padding buckets, WorldMap
+host arrays capacity-double, and the loop detector must enter/exit loops on
+a long trajectory (the reference runs whole 4,541-frame KITTI sequences
+through the same loop, ref src/slam.cpp:108-148 + loop_detector.cpp:123-151).
+
+Scene: the bench's sliding-texture stereo world (constant-depth plane,
+exact lateral ground truth) driven on a TRIANGLE-WAVE trajectory — out for
+`period/2` frames, back along the same path, repeat. Revisits re-render the
+same viewpoints, so BoW scores spike against distant frames and the Bayes
+filter must enter a loop on each return leg and trigger the pose graph on
+exit.
+
+Writes ENDURANCE_r{N}.json:
+  - per-500-frame fps curve (wall clock, pipeline included),
+  - flatness ratio fps[last window] / fps[frames 500-1000],
+  - compile count AFTER warm-up (jax_log_compiles hook) — growth means a
+    jit-shape leak,
+  - loop statistics (pose-graph solves, committed loop edges),
+  - final ATE vs exact lateral ground truth.
+
+Usage: python -m benchmarks.endurance [--frames 2048] [--batch 24]
+       [--out ENDURANCE_r03.json] [--h 376 --w 1241]
+"""
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+from stereo_orb_slam_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def triangle_positions(n_frames: int, period: int, step: float):
+    """Lateral texture offsets of a triangle wave: 0..A..0..A.. (A = period/2
+    * step). Returns float offsets per frame."""
+    f = np.arange(n_frames)
+    ph = f % period
+    up = ph < period // 2
+    pos = np.where(up, ph, period - ph).astype(np.float64) * step
+    return pos
+
+
+class TriangleSceneReader:
+    """Lazily renders the sliding-texture stereo frames along the triangle
+    trajectory (uint8) — 2k+ KITTI-sized frames don't fit precomputed."""
+
+    def __init__(self, n_frames, h, w, period, step=4, shift=6, seed=0):
+        rng = np.random.default_rng(seed)
+        self.n = n_frames
+        self.h, self.w, self.shift = h, w, shift
+        self.pos = triangle_positions(n_frames, period, step)
+        span = w + 2 * 32 + shift + int(self.pos.max()) + step + 8
+        base = rng.uniform(0, 255, (h // 8, span // 8 + 2)).astype(np.float32)
+        self.base = np.kron(base, np.ones((8, 8), np.float32))[:h, :span]
+
+    def frame(self, i):
+        o = 32 + self.pos[i]
+        oi = int(round(o))
+        l = self.base[:, oi : oi + self.w]
+        r = self.base[:, oi + self.shift : oi + self.shift + self.w]
+        return (l.astype(np.uint8), r.astype(np.uint8))
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield self.frame(i)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--period", type=int, default=1600)
+    ap.add_argument("--h", type=int, default=376)
+    ap.add_argument("--w", type=int, default=1241)
+    ap.add_argument("--refine_interval", type=int, default=10)
+    ap.add_argument("--window", type=int, default=500)
+    ap.add_argument("--out", default="ENDURANCE_r03.json")
+    ap.add_argument("--db_capacity", type=int, default=1024,
+                    help="small initial BoW capacity so the run exercises "
+                         "capacity-doubling drains (default config is 8192)")
+    args = ap.parse_args()
+
+    import jax
+
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+    from stereo_orb_slam_tpu.config import LoopConfig, SlamConfig
+    from stereo_orb_slam_tpu.geometry import camera
+    from stereo_orb_slam_tpu.io.datasets import DeviceBatchReader
+    from stereo_orb_slam_tpu.loop import OrbVocabulary
+
+    # Count XLA compiles via the jax_log_compiles logger: after warm-up the
+    # count must stop growing (shape-bucket leaks would recompile forever).
+    compile_count = [0]
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            if "Compiling" in record.getMessage():
+                compile_count[0] += 1
+
+    handler = _H()
+    jax.config.update("jax_log_compiles", True)
+    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla"):
+        lg = logging.getLogger(name)
+        lg.addHandler(handler)
+        lg.propagate = False  # count, don't spam stderr
+
+    fx, cx, cy, b = 718.856, 607.1928, 185.2157, 0.5371657
+    left = camera.Pinhole.create(fx, fx, cx, cy)
+    pose_r = np.eye(4, dtype=np.float32)
+    pose_r[0, 3] = b
+    right = camera.Pinhole.create(fx, fx, cx, cy, pose=pose_r)
+    rig = camera.StereoRig.create(left, right, rectified=True, baseline=b)
+
+    rngv = np.random.default_rng(1)
+    corpus = rngv.integers(0, 2 ** 32, (8192, 8), dtype=np.uint32)
+    vocab = OrbVocabulary.train(corpus, num_words=1024, iterations=2)
+
+    cfg = SlamConfig().replace(
+        refine_interval=args.refine_interval, batch_frames=args.batch,
+        loop=LoopConfig(database_capacity=args.db_capacity),
+    )
+    system = SlamSystem(rig, cfg, vocab=vocab)
+
+    scene = TriangleSceneReader(args.frames, args.h, args.w, args.period)
+    reader = DeviceBatchReader(scene, args.batch)
+
+    t_start = time.perf_counter()
+    batch_t = []        # (frame_index_after, wall_time)
+    compiles_t = []
+    pgo_solves_before = 0
+    for dl, dr in reader:
+        t0 = time.perf_counter()
+        system.process_batch(dl, dr)
+        batch_t.append((system.frame_index, time.perf_counter() - t0))
+        compiles_t.append(compile_count[0])
+    for l, r in reader.remainder:
+        system.process(l, r)
+    system.flush()
+    t_live = time.perf_counter() - t_start
+
+    # fps per window (exclude window 0: warm-up compiles land there).
+    W = args.window
+    windows = {}
+    for (fidx, dt) in batch_t:
+        windows.setdefault(fidx // W, []).append(dt)
+    fps_curve = {
+        str(k * W): round(args.batch * len(v) / sum(v), 2)
+        for k, v in sorted(windows.items())
+    }
+    keys = sorted(windows)
+    fps_ref = (args.batch * len(windows[keys[1]])
+               / sum(windows[keys[1]])) if len(keys) > 2 else None
+    fps_last = (args.batch * len(windows[keys[-1]])
+                / sum(windows[keys[-1]])) if len(keys) > 2 else None
+
+    # Compile growth after the first window.
+    first_win_batches = len(windows[keys[0]])
+    compiles_after_warm = compile_count[0] - compiles_t[
+        min(first_win_batches, len(compiles_t)) - 1]
+
+    n_loop_edges = len(system.pgo.committed_edges)
+    pgo_stats = system.pgo.last_stats
+
+    # Final pose graph + global BA, then ATE vs exact lateral ground truth.
+    t0 = time.perf_counter()
+    system.finish()
+    t_finish = time.perf_counter() - t0
+    w = system.world
+    n = w.num_frames
+    depth = fx * b / scene.shift
+    # GT: camera at lateral offset pos*depth/fx (texture slides `pos` px at
+    # plane depth `depth`).
+    gt_x = scene.pos[:n] * depth / fx
+    est_x = w.pose_global[:n, 0, 3]
+    ate = float(np.sqrt(np.mean((est_x - gt_x) ** 2)))
+
+    result = {
+        "what": "live batched SLAM endurance drive (triangle revisit path)",
+        "frames": int(system.frame_index),
+        "tracked_frames": int(n),
+        "batch_frames": args.batch,
+        "db_capacity_initial": args.db_capacity,
+        "db_size_final": int(system.loop.db_size if system.loop else 0),
+        "live_fps_overall": round(system.frame_index / t_live, 2),
+        "fps_per_window": fps_curve,
+        "fps_flatness_last_vs_early": (
+            round(fps_last / fps_ref, 3) if fps_ref else None),
+        "compiles_total": compile_count[0],
+        "compiles_after_first_window": compiles_after_warm,
+        "loop_edges_committed": int(n_loop_edges),
+        "pose_graph_loop_edges_final": pgo_stats.get("num_loop_edges"),
+        "finish_seconds": round(t_finish, 2),
+        "lateral_ate_m": round(ate, 4),
+        "num_points": int(w.num_points),
+        "num_obs": int(w.num_obs),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,28 +103,23 @@ def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_onehot=None):
 def build_normal_equations(prob: BAProblem, huber_delta: float,
                            axis_name=None, dense_slots=None,
                            cam_onehot=None):
-    r, J_c, J_p, cost = res_mod.residuals_and_jacobians(
-        prob.pose6, prob.points, prob.obs_cam, prob.obs_point, prob.obs_uv,
-        prob.obs_weight, prob.P_l, prob.P_r, huber_delta,
-    )
     C = prob.pose6.shape[0]
     P = prob.points.shape[0]
-    JcT_Jc = jnp.einsum("oki,okj->oij", J_c, J_c)        # [O,6,6]
-    JpT_Jp = jnp.einsum("oki,okj->oij", J_p, J_p)        # [O,3,3]
-    W = jnp.einsum("oki,okj->oij", J_c, J_p)             # [O,6,3]
+    # Whitened normal-equation rows in ONE fused elementwise pass (SoA,
+    # residuals.build_rows_soa) — the batched-small-matmul formulation
+    # fragmented into dozens of low-utilization MXU ops and dominated the
+    # LM iteration (~19 of 24 ms on v5e; BA_PROFILE_r03).
+    cam_rows, pt_rows, W, cost = res_mod.build_rows_soa(
+        prob.pose6[prob.obs_cam], prob.points[prob.obs_point], prob.obs_uv,
+        prob.obs_weight, prob.P_l, prob.P_r, huber_delta,
+    )
     # Camera-side reductions fused into one row per observation: one
     # matmul (dense path) / one scatter (matrix-free) instead of two.
-    cam_rows = jnp.concatenate(
-        [JcT_Jc.reshape(-1, 36), jnp.einsum("oki,ok->oi", J_c, r)], axis=-1
-    )
     cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_onehot)
     H_cc = cam_red[:, :36].reshape(-1, 6, 6)             # [C,6,6]
     b_c = -cam_red[:, 36:]                               # [C,6]
     # Point-side reductions fused into one row per observation (a single
     # gather-reduce on the dense path instead of two scatters).
-    pt_rows = jnp.concatenate(
-        [JpT_Jp.reshape(-1, 9), -jnp.einsum("oki,ok->oi", J_p, r)], axis=-1
-    )
     pt_red = _seg_sum_points(pt_rows, prob.obs_point, P, axis_name,
                              dense_slots)
     H_pp = pt_red[:, :9].reshape(-1, 3, 3)               # [P,3,3]
