@@ -102,7 +102,11 @@ def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_onehot=None):
 
 def build_normal_equations(prob: BAProblem, huber_delta: float,
                            axis_name=None, dense_slots=None,
-                           cam_onehot=None):
+                           cam_onehot=None, point_sharded: bool = False):
+    """point_sharded: the POINT-ALIGNED distributed layout
+    (parallel/dist_ba.shard_problem_point_aligned) — every point's whole
+    observation run lives on one device, so point-side reductions are
+    LOCAL (no psum) and only camera-sized tensors cross the mesh."""
     C = prob.pose6.shape[0]
     P = prob.points.shape[0]
     # Whitened normal-equation rows in ONE fused elementwise pass (SoA,
@@ -120,7 +124,8 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     b_c = -cam_red[:, 36:]                               # [C,6]
     # Point-side reductions fused into one row per observation (a single
     # gather-reduce on the dense path instead of two scatters).
-    pt_red = _seg_sum_points(pt_rows, prob.obs_point, P, axis_name,
+    pt_red = _seg_sum_points(pt_rows, prob.obs_point, P,
+                             None if point_sharded else axis_name,
                              dense_slots)
     H_pp = pt_red[:, :9].reshape(-1, 3, 3)               # [P,3,3]
     b_p = pt_red[:, 9:]                                  # [P,3]
@@ -188,7 +193,7 @@ def _batched_spd_solve(A, b):
 
 
 def schur_matvec(x, H_cc_l, Hpp_inv, W, obs_cam, obs_point, cam_mask,
-                 axis_name=None):
+                 axis_name=None, point_sharded: bool = False):
     """S @ x with S = H_cc_l - W H_pp_l^-1 W^T, matrix-free.
 
     x: [C,6]. Fixed cameras are pinned via cam_mask (identity rows).
@@ -200,7 +205,8 @@ def schur_matvec(x, H_cc_l, Hpp_inv, W, obs_cam, obs_point, cam_mask,
     """
     xm = x * cam_mask[:, None]
     u = jnp.einsum("oij,oi->oj", W, xm[obs_cam])          # [O,3] = W^T x
-    z = _seg_sum(u, obs_point, Hpp_inv.shape[0], axis_name)  # [P,3]
+    z = _seg_sum(u, obs_point, Hpp_inv.shape[0],
+                 None if point_sharded else axis_name)    # [P,3]
     w = jnp.einsum("nij,nj->ni", Hpp_inv, z)              # [P,3]
     v = jnp.einsum("oij,oj->oi", W, w[obs_point])         # [O,6] = W w
     out = jnp.einsum("cij,cj->ci", H_cc_l, xm) - _seg_sum(
@@ -243,7 +249,8 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
 
 def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
-              axis_name=None, dense_slots=None, cam_onehot=None):
+              axis_name=None, dense_slots=None, cam_onehot=None,
+              point_sharded: bool = False):
     """Damp, marginalize points (Schur), solve the reduced camera system,
     back-substitute. Returns the PROPOSED (pose6, points) for this lambda.
 
@@ -290,6 +297,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
             H_cc_l=H_cc_safe, Hpp_inv=Hpp_inv, W=W,
             obs_cam=prob.obs_cam, obs_point=prob.obs_point,
             cam_mask=prob.cam_mask, axis_name=axis_name,
+            point_sharded=point_sharded,
         )
         dc = pcg(mv, rhs, M_inv, cfg.cg_iterations, cfg.cg_tol)
     dc = dc * prob.cam_mask[:, None]
@@ -298,7 +306,8 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
     u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
     dp = jnp.einsum(
         "nij,nj->ni", Hpp_inv,
-        b_p - _seg_sum_points(u, prob.obs_point, b_p.shape[0], axis_name,
+        b_p - _seg_sum_points(u, prob.obs_point, b_p.shape[0],
+                              None if point_sharded else axis_name,
                               dense_slots),
     )
     dp = dp * prob.point_mask[:, None]
@@ -309,7 +318,8 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
 
 
 def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
-                 dense_slots=None, cam_onehot=None):
+                 dense_slots=None, cam_onehot=None,
+                 point_sharded: bool = False):
     """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
 
     Returns (new_prob, new_lam, accepted, cost_before, cost_after).
@@ -321,11 +331,12 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
     backend/schur_dense.py). Mutually exclusive with `axis_name`.
     """
     H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot,
+        point_sharded,
     )
     pose6_new, points_new = _solve_lm(
         prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots,
-        cam_onehot,
+        cam_onehot, point_sharded,
     )
 
     cost1 = res_mod.robust_cost(
@@ -345,7 +356,8 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
     return new_prob, lam_new, accept, cost0, cost1
 
 
-lm_step = jax.jit(lm_step_impl, static_argnames=("cfg", "axis_name"))
+lm_step = jax.jit(lm_step_impl,
+                  static_argnames=("cfg", "axis_name", "point_sharded"))
 
 
 class LMCarry(NamedTuple):
@@ -366,16 +378,19 @@ class LMCarry(NamedTuple):
 
 
 def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
-                 axis_name=None, cam_onehot=None):
+                 axis_name=None, cam_onehot=None,
+                 point_sharded: bool = False):
     H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot,
+        point_sharded,
     )
     return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
                    H_cc, H_pp, W, b_c, b_p)
 
 
 def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
-                      axis_name=None, cam_onehot=None):
+                      axis_name=None, cam_onehot=None,
+                      point_sharded: bool = False):
     """One evaluate-once LM iteration (single-device fast path).
 
     Returns (new_carry, accepted, cost_before, cost_after). The accept
@@ -388,11 +403,12 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     prob = carry.prob
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
-        carry.lam, cfg, axis_name, dense_slots, cam_onehot,
+        carry.lam, cfg, axis_name, dense_slots, cam_onehot, point_sharded,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
     H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
-        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_onehot
+        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_onehot,
+        point_sharded,
     )
 
     accept = cost_try < carry.cost
@@ -415,8 +431,9 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     return new_carry, accept, carry.cost, cost_try
 
 
-lm_init = jax.jit(lm_init_impl, static_argnames=("cfg",))
-lm_iteration = jax.jit(lm_iteration_impl, static_argnames=("cfg",))
+lm_init = jax.jit(lm_init_impl, static_argnames=("cfg", "point_sharded"))
+lm_iteration = jax.jit(lm_iteration_impl,
+                       static_argnames=("cfg", "point_sharded"))
 
 
 def build_slots_device(obs_point, obs_cam, obs_weight, n_points_pad: int,
@@ -449,7 +466,8 @@ def build_slots_device(obs_point, obs_cam, obs_weight, n_points_pad: int,
 
 
 def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
-                  dense_slots=None, axis_name=None, dense_K=None):
+                  dense_slots=None, axis_name=None, dense_K=None,
+                  point_sharded: bool = False):
     """Full LM solve in ONE device program: init + `lax.while_loop` over
     evaluate-once iterations with the reference's convergence exit (relative
     cost decrease < function_tolerance on an accepted step, the Ceres
@@ -479,7 +497,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
         cam_onehot = (prob.obs_cam[None, :]
                       == jnp.arange(C, dtype=prob.obs_cam.dtype)[:, None]
                       ).astype(jnp.float32)
-    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_onehot)
+    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_onehot,
+                          point_sharded)
     cost_init = carry0.cost
 
     def cond(state):
@@ -491,7 +510,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
         new_carry, accepted, c0, c1 = lm_iteration_impl(carry, cfg,
                                                         dense_slots,
                                                         axis_name,
-                                                        cam_onehot)
+                                                        cam_onehot,
+                                                        point_sharded)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
         )
@@ -504,7 +524,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
 
 
 ba_solve = jax.jit(ba_solve_impl,
-                   static_argnames=("cfg", "axis_name", "dense_K"))
+                   static_argnames=("cfg", "axis_name", "dense_K",
+                                    "point_sharded"))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:
