@@ -49,10 +49,9 @@ sys.path.insert(0, {repo!r})
 import numpy as np
 import jax.numpy as jnp
 from stereo_orb_slam_tpu.parallel import multihost
-from stereo_orb_slam_tpu.parallel.dist_ba import sharded_lm_step, shard_problem
 from stereo_orb_slam_tpu.parallel.mesh import make_mesh
 from stereo_orb_slam_tpu.config import BAConfig
-from benchmarks.scaling_evidence import build_problem
+from benchmarks.scaling_evidence import build_point_aligned_step
 
 nproc = int(sys.argv[1])
 pid = int(sys.argv[2])
@@ -63,9 +62,8 @@ if nproc > 1:
                          num_processes=nproc, process_id=pid)
 cfg = BAConfig(cg_iterations=25)
 mesh = make_mesh(nproc)
-step = sharded_lm_step(mesh, cfg)
-prob = build_problem()
-prob = shard_problem(mesh, prob)
+opc = int(sys.argv[5]); Pn = int(sys.argv[6])
+step, prob = build_point_aligned_step(mesh, cfg, C=200, P=Pn, obs_per_cam=opc)
 lam = jnp.float32(1e-4)
 p2, *_ = step(prob, lam)
 jax.block_until_ready(p2.pose6)
@@ -87,49 +85,78 @@ def build_problem(C=200, P=20000, obs_per_cam=600, seed=0):
     return make_problem(C=C, P=P, obs_per_cam=obs_per_cam, seed=seed)
 
 
+def build_point_aligned_step(mesh, cfg, C=200, P=20000, obs_per_cam=600):
+    """(sharded point-aligned LM step, placed problem) on `mesh` — the
+    production distributed scheme (parallel/dist_ba)."""
+    import numpy as np
+
+    from stereo_orb_slam_tpu.parallel.dist_ba import (
+        build_point_aligned, place_point_aligned,
+        sharded_lm_step_point_aligned,
+    )
+
+    raw = build_problem(C=C, P=P, obs_per_cam=obs_per_cam)
+    obs_point = np.asarray(raw.obs_point)
+    order = np.argsort(obs_point, kind="stable")
+    cam_mask = np.asarray(raw.cam_mask)
+    prob, meta = build_point_aligned(
+        np.asarray(raw.pose6), np.asarray(raw.points),
+        np.asarray(raw.obs_cam)[order], obs_point[order],
+        np.asarray(raw.obs_uv)[order], cam_mask,
+        np.asarray(raw.P_l), np.asarray(raw.P_r), mesh.devices.size,
+    )
+    prob = place_point_aligned(mesh, prob)
+    step = sharded_lm_step_point_aligned(mesh, cfg)
+    return step, prob
+
+
 def collective_report(n_devices: int, C=200, P=20000, obs_per_cam=600,
                       cg_iterations=25):
     """Compile the sharded LM step for an n-device mesh and extract every
     all-reduce tensor from the optimized HLO. Returns the shape census,
     total static bytes, the analytic per-step model, and the invariant
     check (no all-reduce ever carries an observation-sized tensor)."""
-    import jax
-
     from stereo_orb_slam_tpu.config import BAConfig
-    from stereo_orb_slam_tpu.parallel.dist_ba import (
-        shard_problem, sharded_lm_step,
-    )
     from stereo_orb_slam_tpu.parallel.mesh import make_mesh
 
     cfg = BAConfig(cg_iterations=cg_iterations)
     mesh = make_mesh(n_devices)
-    step = sharded_lm_step(mesh, cfg)
-    prob = build_problem(C=C, P=P, obs_per_cam=obs_per_cam)
-    prob = shard_problem(mesh, prob)
+    step, prob = build_point_aligned_step(mesh, cfg, C=C, P=P,
+                                          obs_per_cam=obs_per_cam)
     lam = np.float32(1e-4)
     hlo = step.lower(prob, lam).compile().as_text()
 
     census = {}
     o_sized = []
     O = C * obs_per_cam
-    for m in re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* all-reduce", hlo):
-        dtype, dims = m.group(1), m.group(2)
+
+    def record(dtype, dims):
         shape = tuple(int(d) for d in dims.split(",") if d) if dims else ()
         key = f"{dtype}{list(shape)}"
         census[key] = census.get(key, 0) + 1
-        n_elem = int(np.prod(shape)) if shape else 1
-        # The invariant: reductions are camera/point-sized, never obs-sized.
-        if n_elem >= O // max(n_devices, 1):
+        # The invariant: reductions are camera-sized (point-aligned
+        # scheme; the first dim of an obs/point-sized tensor would be
+        # >= the per-device shard length).
+        lead = shape[0] if shape else 1
+        if lead >= min(O, P) // max(n_devices, 1):
             o_sized.append(key)
 
-    # Analytic dynamic volume per LM step (f32 bytes, one direction):
-    #   build: cam_rows [C,42] + pt_rows [P,12] + cost (x2 evaluate-once)
-    #   solve: rhs [C,6] + backsub [P,3]
-    #   PCG: cg_iterations x ([P,3] + [C,6])
+    # Plain all-reduces: "= f32[200,6]{...} all-reduce(-start)?(...)"
+    for m in re.finditer(r"= (\w+)\[([\d,]*)\]\S* all-reduce", hlo):
+        record(m.group(1), m.group(2))
+    # XLA-combined all-reduces carry TUPLE shapes:
+    # "= (f32[200,42]{...}, f32[]) all-reduce(...)" — parse every element.
+    for m in re.finditer(r"= \(([^)]*)\) all-reduce", hlo):
+        for e in re.finditer(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            record(e.group(1), e.group(2))
+
+    # Analytic dynamic volume per LM step (f32 bytes, one direction) for
+    # the POINT-ALIGNED scheme — all point-side reductions are local:
+    #   build: cam_rows [C,42] + cost (x2 evaluate-once)
+    #   solve: rhs [C,6]
+    #   PCG: cg_iterations x [C,6]
     model_bytes = 4 * (
-        2 * (C * 42 + P * 12 + 1)
-        + C * 6 + P * 3
-        + cg_iterations * (P * 3 + C * 6)
+        2 * (C * 42 + 1) + C * 6 + cg_iterations * (C * 6)
     )
     return {
         "devices": n_devices,
@@ -141,16 +168,31 @@ def collective_report(n_devices: int, C=200, P=20000, obs_per_cam=600,
     }
 
 
-def compute_time_two_process(n_iter=6):
+def compute_time_two_process(n_iter=6, obs_per_cam=600, P=20000):
     """Per-process CPU time of the sharded LM step: 1-process baseline vs
-    2 real processes (jax.distributed). Returns compute-time efficiency."""
+    2 real processes (jax.distributed). Returns compute-time efficiency.
+
+    CPU-backend caveat: every psum is a gloo barrier costing ~1-2 ms of
+    host CPU regardless of payload (vs ~us on ICI for the [C,6] tensors
+    the point-aligned scheme reduces), so the measured efficiency is a
+    LOWER bound that rises with work-per-barrier — measure at more than
+    one problem size to see the asymptote."""
     def run(nproc):
         port = str(_free_port())
         procs = []
+        n_cores = len(os.sched_getaffinity(0))
         for pid in range(nproc):
+            cmd = [sys.executable, "-c", _WORKER.format(repo=REPO),
+                   str(nproc), str(pid), port, str(n_iter),
+                   str(obs_per_cam), str(P)]
+            if n_cores >= nproc:
+                # One core per process: the 1-process baseline and each
+                # 2-process worker then measure the same single-core
+                # execution regime (otherwise XLA intra-op threads let the
+                # baseline use every core and skew the CPU-time ratio).
+                cmd = ["taskset", "-c", str(pid % n_cores)] + cmd
             p = subprocess.Popen(
-                [sys.executable, "-c", _WORKER.format(repo=REPO),
-                 str(nproc), str(pid), port, str(n_iter)],
+                cmd,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             procs.append(p)
@@ -178,6 +220,7 @@ def compute_time_two_process(n_iter=6):
         "compute_time_efficiency_mean": round(eff_mean, 3),
         "compute_time_efficiency_critical_path": round(eff_critical, 3),
         "iters": n_iter,
+        "problem": {"C": 200, "P": P, "O": 200 * obs_per_cam},
     }
 
 
@@ -221,7 +264,8 @@ def main():
             "wall_efficiency": round(ips / (base * n), 3),
         }
 
-    ct = compute_time_two_process(args.iters)
+    ct = [compute_time_two_process(args.iters),
+          compute_time_two_process(args.iters, obs_per_cam=1800, P=40000)]
 
     result = {
         "what": ("distributed-BA scaling evidence: HLO collective census, "

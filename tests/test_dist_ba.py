@@ -73,3 +73,33 @@ def test_dist_converges(rng, eight_devices):
     dist = DistributedBundleAdjuster(world, rig, mesh, BAConfig(max_iterations=15))
     stats = dist.optimize(0, world.num_frames)
     assert stats["cost_final"] < stats["cost_initial"] * 1e-2
+
+
+def test_point_aligned_matches_obs_scheme(rng, eight_devices):
+    """The point-aligned layout (point state sharded, O(C) collectives)
+    must converge to the same solution as the legacy obs-sharded layout."""
+    import copy
+
+    world_a, rig, gt_poses, _ = synth_ba_world(rng, n_frames=6, n_points=200)
+    pert_pts = rng.normal(0, 0.15, (world_a.num_points, 3)).astype(np.float32)
+    world_b = copy.deepcopy(world_a)
+    for w in (world_a, world_b):
+        w.points[: w.num_points] += pert_pts
+
+    cfg = BAConfig(max_iterations=10)
+    mesh = make_mesh(8, devices=eight_devices)
+    a = DistributedBundleAdjuster(world_a, rig, mesh, cfg, scheme="obs")
+    b = DistributedBundleAdjuster(world_b, rig, mesh, cfg,
+                                  scheme="point_aligned")
+    sa = a.optimize(0, world_a.num_frames)
+    sb = b.optimize(0, world_b.num_frames)
+    assert sb["scheme"] == "point_aligned"
+    assert np.isclose(sa["cost_final"], sb["cost_final"],
+                      rtol=1e-3, atol=1e-4)
+    n = world_a.num_frames
+    np.testing.assert_allclose(world_b.pose_global[:n],
+                               world_a.pose_global[:n], atol=5e-3)
+    np.testing.assert_allclose(
+        world_b.points[: world_b.num_points],
+        world_a.points[: world_a.num_points], atol=2e-2,
+    )

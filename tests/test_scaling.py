@@ -66,3 +66,20 @@ def test_sharded_equals_single_device():
     np.testing.assert_allclose(
         np.asarray(p1.pose6), np.asarray(p2.pose6), atol=2e-3
     )
+
+
+def test_point_aligned_collectives_are_camera_sized_only():
+    """The point-aligned distributed LM step's compiled HLO must contain
+    all-reduces ONLY over camera-sized tensors (O(C) collective volume) —
+    never point- or observation-sized ones. This is the mechanism behind
+    the multi-host scaling claim (SCALING_r03.json)."""
+    from benchmarks.scaling_evidence import collective_report
+
+    rep = collective_report(2, C=40, P=2000, obs_per_cam=100,
+                            cg_iterations=10)
+    assert rep["obs_sized_all_reduces"] == [], rep
+    census = rep["all_reduce_shape_census_static"]
+    assert census, "expected at least one all-reduce in the distributed step"
+    for key in census:
+        # every reduced tensor's leading dim is C (or scalar)
+        assert key.startswith("f32[40,") or key == "f32[]", census
