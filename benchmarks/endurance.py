@@ -171,7 +171,11 @@ def main():
 
     # Final pose graph + global BA, then ATE vs exact lateral ground truth.
     t0 = time.perf_counter()
-    system.finish()
+    finish_error = None
+    try:
+        system.finish()
+    except Exception as e:  # record the live metrics even if finish dies
+        finish_error = f"{type(e).__name__}: {e}"[:300]
     t_finish = time.perf_counter() - t0
     w = system.world
     n = w.num_frames
@@ -198,6 +202,7 @@ def main():
         "loop_edges_committed": int(n_loop_edges),
         "pose_graph_loop_edges_final": pgo_stats.get("num_loop_edges"),
         "finish_seconds": round(t_finish, 2),
+        "finish_error": finish_error,
         "lateral_ate_m": round(ate, 4),
         "num_points": int(w.num_points),
         "num_obs": int(w.num_obs),

