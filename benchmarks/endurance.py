@@ -123,9 +123,16 @@ def main():
     corpus = rngv.integers(0, 2 ** 32, (8192, 8), dtype=np.uint32)
     vocab = OrbVocabulary.train(corpus, num_words=1024, iterations=2)
 
+    from stereo_orb_slam_tpu.config import BAConfig
+
     cfg = SlamConfig().replace(
         refine_interval=args.refine_interval, batch_frames=args.batch,
         loop=LoopConfig(database_capacity=args.db_capacity),
+        # Reference parity for the finish-stage global solves: Ceres
+        # max_solver_time is 1 s (ref src/params.h:41); at 2k keyframes a
+        # full 50-iteration schedule would run tens of minutes. 60 s here
+        # is generous to quality while keeping the artifact run bounded.
+        ba=BAConfig(max_solve_seconds=60.0),
     )
     system = SlamSystem(rig, cfg, vocab=vocab)
 

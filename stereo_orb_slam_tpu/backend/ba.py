@@ -528,6 +528,45 @@ ba_solve = jax.jit(ba_solve_impl,
                                     "point_sharded"))
 
 
+def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
+                   dense_slots=None, axis_name=None,
+                   point_sharded: bool = False):
+    """Continue an LM solve from an existing carry for up to `max_iters`
+    more evaluate-once iterations (same loop as ba_solve_impl).
+
+    Exists so HUGE solves can be CHUNKED across dispatches: on the
+    remote-attached transport, a single device program that runs for
+    minutes (global BA over thousands of keyframes at max_iterations=50)
+    trips the relay's watchdog and kills the worker ("TPU worker process
+    crashed"). The host dispatches bounded chunks and checks the converged
+    flag between them (BundleAdjuster._solve_chunked).
+
+    Returns (carry, iterations_run, converged).
+    """
+    def cond(state):
+        _, it, converged = state
+        return (it < max_iters) & ~converged
+
+    def body(state):
+        c, it, _ = state
+        new_c, accepted, c0, c1 = lm_iteration_impl(c, cfg, dense_slots,
+                                                    axis_name, None,
+                                                    point_sharded)
+        converged = accepted & (c0 > 0) & (
+            (c0 - c1) < cfg.function_tolerance * c0
+        )
+        return new_c, it + 1, converged
+
+    carry, iters, conv = jax.lax.while_loop(
+        cond, body, (carry, jnp.int32(0), jnp.asarray(False))
+    )
+    return carry, iters, conv
+
+
+ba_resume = jax.jit(ba_resume_impl,
+                    static_argnames=("cfg", "axis_name", "point_sharded"))
+
+
 def _pad_to(n: int, mult: int = 256) -> int:
     """Pad to the next power of two (>= mult): BA problem sizes grow every
     frame, and each distinct padded shape is a separate XLA compile (tens of
@@ -660,9 +699,38 @@ class BundleAdjuster:
         iters = max_iterations or cfg.max_iterations
         # Entire LM schedule in one device program — a single host sync per
         # solve instead of one per iteration (see ba_solve_impl docstring).
-        carry, n_iters, cost_init = ba_solve(
-            prob, jnp.int32(iters), cfg, dense_K=dense_K
-        )
+        # EXCEPT for huge matrix-free problems (global BA over thousands of
+        # keyframes): a single dispatch running the whole 50-iteration
+        # schedule executes for minutes and trips the relay transport's
+        # watchdog, killing the worker. Those are chunked: init once, then
+        # bounded ba_resume dispatches with a host convergence check in
+        # between (one extra sync per chunk — negligible against the
+        # multi-second chunks).
+        if dense_K is None and O_pad >= (1 << 19):
+            import time as _time
+
+            chunk = max(1, (1 << 22) // O_pad)
+            t0 = _time.perf_counter()
+            carry = lm_init(prob, cfg)
+            cost_init = carry.cost
+            n_done = 0
+            while n_done < iters:
+                k = min(chunk, iters - n_done)
+                carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg)
+                n_done += int(k_run)  # sync point bounds the dispatch
+                if bool(conv):
+                    break
+                if (cfg.max_solve_seconds > 0
+                        and _time.perf_counter() - t0
+                        > cfg.max_solve_seconds):
+                    # Reference parity: Ceres max_solver_time (1 s cap,
+                    # ref src/params.h:41) returns the best-so-far state.
+                    break
+            n_iters = jnp.int32(n_done)
+        else:
+            carry, n_iters, cost_init = ba_solve(
+                prob, jnp.int32(iters), cfg, dense_K=dense_K
+            )
 
         # ONE consolidated readback: in the relay's synchronous mode every
         # fetched array pays its own round trip, so pose6/points/scalars are

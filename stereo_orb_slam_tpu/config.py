@@ -124,6 +124,11 @@ class BAConfig:
     # Ceres tolerances to 1e-16, i.e. effectively runs to the iteration cap;
     # ref src/bundle_adjuster.cpp:35-36).
     function_tolerance: float = 1e-9
+    # Wall-clock cap per solve, the reference's Ceres max_solver_time
+    # (1 s, ref src/params.h:41). 0 disables. Only enforceable on the
+    # host-chunked large-solve path (backend.ba.BundleAdjuster) — small
+    # windowed solves finish in milliseconds and run single-dispatch.
+    max_solve_seconds: float = 0.0
     # Dense-Schur fast path (backend/schur_dense.py): used when the window
     # has at most this many cameras AND the point-grouped slot count
     # (P_pad * max_track_len) fits; larger/global problems stay matrix-free.

@@ -387,3 +387,71 @@ def test_ba_solve_matches_host_loop(rng):
         np.asarray(dcarry.prob.points), np.asarray(carry.prob.points),
         atol=1e-4
     )
+
+
+def test_ba_resume_chunks_match_single_dispatch(rng):
+    """lm_init + chunked ba_resume (the watchdog-safe path huge global
+    solves take, backend.ba.BundleAdjuster._solve loop) must walk the exact
+    LM schedule of the single-dispatch ba_solve."""
+    import jax.numpy as jnp
+
+    from stereo_orb_slam_tpu.backend.ba import (
+        ba_resume, ba_solve, lm_init,
+    )
+    from stereo_orb_slam_tpu.worldmap import WorldMap  # noqa: F401
+
+    world, rig, gt_poses, pts_gt = synth_ba_world(rng)
+    world.points[: world.num_points] += rng.normal(
+        0, 0.2, (world.num_points, 3)
+    ).astype(np.float32)
+    adj = ba.BundleAdjuster(world, rig, BAConfig())
+    problem = world.ba_problem(0, world.num_frames)
+    # Build the same padded BAProblem the adjuster would (matrix-free).
+    from stereo_orb_slam_tpu.backend.ba import BAProblem, _pad_to, _pad_to_fine
+    from stereo_orb_slam_tpu.geometry import se3_np
+
+    n_obs = len(problem["obs_cam"])
+    C = len(problem["frame_ids"])
+    P_real = len(problem["point_ids"])
+    P_pad = _pad_to_fine(P_real)
+    O_pad = _pad_to(n_obs)
+    pose6 = se3_np.matrix_to_pose6_np(se3_np.inverse_np(problem["cam_world"]))
+    points = np.zeros((P_pad, 3), np.float32)
+    points[:P_real] = problem["point_xyz"]
+    oc = np.zeros(O_pad, np.int32)
+    op = np.zeros(O_pad, np.int32)
+    uv = np.zeros((O_pad, 4), np.float32)
+    ow = np.zeros(O_pad, np.float32)
+    oc[:n_obs] = problem["obs_cam"]
+    op[:n_obs] = problem["obs_point"]
+    uv[:n_obs] = problem["obs_uv"]
+    ow[:n_obs] = 1.0
+    cam_mask = np.ones(C, np.float32)
+    cam_mask[0] = 0.0
+    pm = np.zeros(P_pad, np.float32)
+    pm[:P_real] = 1.0
+    prob = BAProblem(
+        pose6=jnp.asarray(pose6.astype(np.float32)),
+        points=jnp.asarray(points), obs_cam=jnp.asarray(oc),
+        obs_point=jnp.asarray(op), obs_uv=jnp.asarray(uv),
+        obs_weight=jnp.asarray(ow), cam_mask=jnp.asarray(cam_mask),
+        point_mask=jnp.asarray(pm), P_l=adj.P_l, P_r=adj.P_r,
+    )
+    cfg = BAConfig(cg_iterations=30)
+    carry_a, n_a, cost0_a = ba_solve(prob, jnp.int32(9), cfg)
+
+    carry = lm_init(prob, cfg)
+    cost0_b = carry.cost
+    total = 0
+    for chunk in (4, 4, 4):
+        carry, k, conv = ba_resume(carry, jnp.int32(min(chunk, 9 - total)),
+                                   cfg)
+        total += int(k)
+        if bool(conv) or total >= 9:
+            break
+    assert total == int(n_a)
+    np.testing.assert_allclose(np.asarray(carry.prob.pose6),
+                               np.asarray(carry_a.prob.pose6), atol=1e-6)
+    np.testing.assert_allclose(float(cost0_b), float(cost0_a), rtol=1e-6)
+    np.testing.assert_allclose(float(carry.cost), float(carry_a.cost),
+                               rtol=1e-5)
