@@ -39,13 +39,17 @@ enable_compilation_cache()
 
 
 def triangle_positions(n_frames: int, period: int, step: float):
-    """Lateral texture offsets of a triangle wave: 0..A..0..A.. (A = period/2
-    * step). Returns float offsets per frame."""
-    f = np.arange(n_frames)
-    ph = f % period
-    up = ph < period // 2
-    pos = np.where(up, ph, period - ph).astype(np.float64) * step
-    return pos
+    """Lateral texture offsets of a zig-zag revisit path through waypoints
+    [0, +A, 0, -A, 0] at quarter marks (A = period/4 * step): the outbound
+    leg explores, the return leg REVISITS it (loop episode 1), the negative
+    leg is NOVEL territory (Bayes probability decays -> loop EXIT fires the
+    pose graph mid-run), and the final leg revisits it (episode 2, closed
+    by finish()). Returns float offsets per frame (may be negative)."""
+    q = max(period // 4, 1)
+    way_f = np.arange(0, n_frames + q, q)
+    cycle = [0.0, q * step, 0.0, -q * step]
+    way_x = [cycle[i % 4] for i in range(len(way_f))]
+    return np.interp(np.arange(n_frames), way_f, way_x)
 
 
 class TriangleSceneReader:
@@ -57,12 +61,14 @@ class TriangleSceneReader:
         self.n = n_frames
         self.h, self.w, self.shift = h, w, shift
         self.pos = triangle_positions(n_frames, period, step)
-        span = w + 2 * 32 + shift + int(self.pos.max()) + step + 8
+        self.origin = 32 - int(self.pos.min())
+        span = (w + 2 * 32 + shift + step + 8
+                + int(self.pos.max()) - int(self.pos.min()))
         base = rng.uniform(0, 255, (h // 8, span // 8 + 2)).astype(np.float32)
         self.base = np.kron(base, np.ones((8, 8), np.float32))[:h, :span]
 
     def frame(self, i):
-        o = 32 + self.pos[i]
+        o = self.origin + self.pos[i]
         oi = int(round(o))
         l = self.base[:, oi : oi + self.w]
         r = self.base[:, oi + self.shift : oi + self.shift + self.w]
@@ -173,8 +179,13 @@ def main():
     compiles_after_warm = compile_count[0] - compiles_t[
         min(first_win_batches, len(compiles_t)) - 1]
 
-    n_loop_edges = len(system.pgo.committed_edges)
-    pgo_stats = system.pgo.last_stats
+    live_committed = len(system.pgo.committed_edges)
+    p_trace = (np.asarray(system.loop.probabilities)
+               if system.loop else np.zeros(1))
+    # Loop EPISODES: upward crossings of the is_loop threshold.
+    above = p_trace > 0.9
+    episodes = int(np.sum(above[1:] & ~above[:-1]) + (1 if above[:1].any()
+                                                      else 0))
 
     # Final pose graph + global BA, then ATE vs exact lateral ground truth.
     t0 = time.perf_counter()
@@ -206,8 +217,12 @@ def main():
             round(fps_last / fps_ref, 3) if fps_ref else None),
         "compiles_total": compile_count[0],
         "compiles_after_first_window": compiles_after_warm,
-        "loop_edges_committed": int(n_loop_edges),
-        "pose_graph_loop_edges_final": pgo_stats.get("num_loop_edges"),
+        "loop_episodes": episodes,
+        "bayes_p_max": float(p_trace.max()),
+        "loop_edges_committed_live": int(live_committed),
+        "loop_edges_committed_total": len(system.pgo.committed_edges),
+        "pose_graph_loop_edges_final":
+            system.pgo.last_stats.get("num_loop_edges"),
         "finish_seconds": round(t_finish, 2),
         "finish_error": finish_error,
         "lateral_ate_m": round(ate, 4),
