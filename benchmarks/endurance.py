@@ -205,7 +205,7 @@ def main():
     ate = float(np.sqrt(np.mean((est_x - gt_x) ** 2)))
 
     result = {
-        "what": "live batched SLAM endurance drive (triangle revisit path)",
+        "what": "live batched SLAM endurance drive (zig-zag revisit path)",
         "frames": int(system.frame_index),
         "tracked_frames": int(n),
         "batch_frames": args.batch,
