@@ -534,6 +534,9 @@ class CanyonScene:
             plane([-5.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], 0.035),
             plane([6.0, 0.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], 0.035),
             plane([0.0, 0.0, 45.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0], 0.10),
+            # Near wall behind the start: closed-loop trajectories that yaw
+            # through 360 degrees always face textured surface.
+            plane([0.0, 0.0, -12.0], [0.0, 0.0, 1.0], [0.0, 1.0, 0.0], 0.05),
         ]
 
     def _trace(self, T_cam_to_world, right, uu, vv):

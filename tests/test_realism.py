@@ -214,3 +214,33 @@ def test_reproject_ground_truth_consistency(rng):
     sel = ok2 & np.isfinite(z)
     np.testing.assert_allclose(got[sel], disp_expected[sel], atol=0.35)
     np.testing.assert_allclose(st[sel, 1], uv[sel, 1], atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(900)
+def test_canyon_full_slam_loop_closure(tmp_path):
+    """benchmarks/canyon_drive at miniature scale: full SLAM over the
+    ray-traced canyon with a closed loop + revisit at REFERENCE gates must
+    fire the Bayes filter, commit loop edges, and tighten the final ATE.
+    (TPU artifact: CANYON_E2E_r03.json.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "canyon.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "benchmarks.canyon_drive", "--cpu",
+         "--frames", "144", "--batch", "8", "--out", str(out)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=850,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.loads(out.read_text())
+    assert data["frames"] == 144
+    assert data["bayes_p_max"] > 0.9, data
+    assert data["loop_edges_final"] >= 1, data
+    assert data["ate_final_m"] < 0.05, data
+    assert data["ate_final_m"] <= data["ate_vo_m"] + 1e-6, data
