@@ -247,12 +247,13 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
 
     # Honest MFU: FLOP model of the dense-Schur LM iteration (same model as
     # benchmarks/ba_profile.py) vs the v5e single-chip f32 MXU peak (~49
-    # TFLOP/s). An evaluate-once iteration = 1 build + 1 solve.
+    # TFLOP/s). An evaluate-once iteration = 1 build + 1 assembly + 1
+    # direct Cholesky solve of the reduced system.
     P_pad = int(sto.shape[0])
     flops_assemble = 2 * (3 * P_pad) * (6 * C) ** 2 + 2 * P_pad * K * C * 18
-    flops_pcg = cfg.cg_iterations * 2 * (6 * C) ** 2
+    flops_chol = (6 * C) ** 3 // 3 + 2 * (6 * C) ** 2
     flops_build = O * (500 + 2 * (36 * 4 + 18 * 4 + 24 + 12)) + P_pad * K * 12
-    flops_iter = flops_assemble + flops_pcg + flops_build
+    flops_iter = flops_assemble + flops_chol + flops_build
     it_s = chain / device_s
     shape = {"C": C, "P": P, "O": O,
              "achieved_tflops": round(flops_iter * it_s / 1e12, 2),

@@ -490,10 +490,14 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
             prob.points.shape[0], dense_K,
         )
     cam_onehot = None
-    if dense_slots is not None:
+    C = prob.pose6.shape[0]
+    O = prob.obs_cam.shape[0]
+    if dense_slots is not None and C * O <= (1 << 26):
         # Constant across LM iterations: one [C,O] f32 one-hot turns every
         # camera-side reduction into an MXU matmul (see _seg_sum_cams).
-        C = prob.pose6.shape[0]
+        # Size-gated to 256 MB: at the dense-path envelope (C=512,
+        # O_pad=2^19) the one-hot would exceed 1 GB live across the whole
+        # while_loop — those solves fall back to the scatter reduction.
         cam_onehot = (prob.obs_cam[None, :]
                       == jnp.arange(C, dtype=prob.obs_cam.dtype)[:, None]
                       ).astype(jnp.float32)
@@ -588,6 +592,31 @@ def _pad_to_fine(n: int, mult: int = 256) -> int:
     return p
 
 
+def prepare_problem_arrays(problem: dict, sort_by_point: bool):
+    """Shared world->solver conversion used by every BA driver (single
+    device, obs-sharded distributed, point-aligned distributed): pose6
+    parameterization on host (a device round trip per solve costs more
+    than the conversion), first-camera-fixed mask (ref
+    bundle_adjuster.cpp:113), and optional point-sorted observation layout
+    (the dense-Schur / point-aligned contract)."""
+    from stereo_orb_slam_tpu.geometry import se3_np
+
+    pose6 = se3_np.matrix_to_pose6_np(
+        se3_np.inverse_np(problem["cam_world"])
+    ).astype(np.float32)
+    obs_cam = np.asarray(problem["obs_cam"])
+    obs_point = np.asarray(problem["obs_point"])
+    obs_uv = np.asarray(problem["obs_uv"])
+    if sort_by_point:
+        order = np.argsort(obs_point, kind="stable")
+        obs_cam = obs_cam[order]
+        obs_point = obs_point[order]
+        obs_uv = obs_uv[order]
+    cam_mask = np.ones(len(problem["frame_ids"]), np.float32)
+    cam_mask[0] = 0.0
+    return pose6, obs_cam, obs_point, obs_uv, cam_mask
+
+
 @jax.jit
 def _pack_ba_result(pose6, points, n_iters, cost_init, cost_final):
     """Flatten the solve outputs into one f32 buffer (single readback)."""
@@ -643,12 +672,12 @@ class BundleAdjuster:
         P_pad = _pad_to_fine(P_real)
         O_pad = _pad_to(n_obs)
 
-        # Host-side parameterization change (geometry/se3_np.py): going
-        # through the device here costs a relay round trip per solve.
         from stereo_orb_slam_tpu.geometry import se3_np
 
-        pose6 = se3_np.matrix_to_pose6_np(
-            se3_np.inverse_np(problem["cam_world"])
+        # Point-sorted layout: contiguous per-point runs make the dense-
+        # Schur slot maps monotonic (sorted gathers; schur_dense.group_slots).
+        pose6, s_cam, s_point, s_uv, cam_mask = prepare_problem_arrays(
+            problem, sort_by_point=True
         )
         points = np.zeros((P_pad, 3), np.float32)
         points[:P_real] = problem["point_xyz"]
@@ -657,16 +686,11 @@ class BundleAdjuster:
         obs_point = np.zeros(O_pad, np.int32)
         obs_uv = np.zeros((O_pad, 4), np.float32)
         obs_w = np.zeros(O_pad, np.float32)
-        # Point-sorted layout: contiguous per-point runs make the dense-Schur
-        # slot maps monotonic (sorted gathers; see schur_dense.group_slots).
-        order = np.argsort(problem["obs_point"], kind="stable")
-        obs_cam[:n_obs] = np.asarray(problem["obs_cam"])[order]
-        obs_point[:n_obs] = np.asarray(problem["obs_point"])[order]
-        obs_uv[:n_obs] = np.asarray(problem["obs_uv"])[order]
+        obs_cam[:n_obs] = s_cam
+        obs_point[:n_obs] = s_point
+        obs_uv[:n_obs] = s_uv
         obs_w[:n_obs] = 1.0
 
-        cam_mask = np.ones(C, np.float32)
-        cam_mask[0] = 0.0  # first camera fixed (ref bundle_adjuster.cpp:113)
         point_mask = np.zeros(P_pad, np.float32)
         point_mask[:P_real] = 1.0
 
@@ -706,49 +730,13 @@ class BundleAdjuster:
         # bounded ba_resume dispatches with a host convergence check in
         # between (one extra sync per chunk — negligible against the
         # multi-second chunks).
-        if dense_K is None and O_pad >= (1 << 19):
-            import time as _time
-
-            chunk = max(1, (1 << 22) // O_pad)
-            t0 = _time.perf_counter()
-            carry = lm_init(prob, cfg)
-            cost_init = carry.cost
-            n_done = 0
-            while n_done < iters:
-                k = min(chunk, iters - n_done)
-                carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg)
-                n_done += int(k_run)  # sync point bounds the dispatch
-                if bool(conv):
-                    break
-                if (cfg.max_solve_seconds > 0
-                        and _time.perf_counter() - t0
-                        > cfg.max_solve_seconds):
-                    # Reference parity: Ceres max_solver_time (1 s cap,
-                    # ref src/params.h:41) returns the best-so-far state.
-                    break
-            n_iters = jnp.int32(n_done)
-        else:
-            carry, n_iters, cost_init = ba_solve(
-                prob, jnp.int32(iters), cfg, dense_K=dense_K
-            )
-
-        # ONE consolidated readback: in the relay's synchronous mode every
-        # fetched array pays its own round trip, so pose6/points/scalars are
-        # packed into a single buffer on device first. The dispatch above is
-        # async — only the np.asarray inside finish() blocks.
-        flat_dev = _pack_ba_result(
-            carry.prob.pose6, carry.prob.points, n_iters, cost_init,
-            carry.cost,
-        )
-
-        def finish() -> dict:
-            flat = np.asarray(flat_dev)
+        def apply_result(flat) -> dict:
+            """Shared writeback: unpack the packed result buffer, convert
+            pose6 (world->camera) -> camera-to-world matrices (host math,
+            geometry/se3_np.py), and write the world."""
             pose6_new = flat[: C * 6].reshape(C, 6)
             points_new = flat[C * 6 : C * 6 + P_pad * 3].reshape(P_pad, 3)
             n_it, c0, c1 = flat[-3:]
-
-            # Write back: pose6 (world->camera) -> camera-to-world matrices
-            # (host math, geometry/se3_np.py).
             cam_world_new = se3_np.inverse_np(
                 se3_np.pose6_to_matrix_np(pose6_new)
             )
@@ -763,5 +751,55 @@ class BundleAdjuster:
                 "num_obs": n_obs,
             }
             return self.last_stats
+
+        if dense_K is None and O_pad >= (1 << 19):
+            # Only the INIT dispatch goes out now; the chunk loop (which
+            # must sync per chunk) runs inside finish(), preserving the
+            # optimize_async contract that nothing blocks before finish.
+            carry0 = lm_init(prob, cfg)
+
+            def finish_chunked() -> dict:
+                import time as _time
+
+                chunk = max(1, (1 << 22) // O_pad)
+                t0 = _time.perf_counter()
+                carry = carry0
+                cost_init = carry.cost
+                n_done = 0
+                while n_done < iters:
+                    k = min(chunk, iters - n_done)
+                    carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg)
+                    n_done += int(k_run)  # sync point bounds the dispatch
+                    if bool(conv):
+                        break
+                    if (cfg.max_solve_seconds > 0
+                            and _time.perf_counter() - t0
+                            > cfg.max_solve_seconds):
+                        # Reference parity: Ceres max_solver_time (1 s cap,
+                        # ref src/params.h:41) returns best-so-far.
+                        break
+                flat = np.asarray(_pack_ba_result(
+                    carry.prob.pose6, carry.prob.points, jnp.int32(n_done),
+                    cost_init, carry.cost,
+                ))
+                return apply_result(flat)
+
+            return finish_chunked
+
+        carry, n_iters, cost_init = ba_solve(
+            prob, jnp.int32(iters), cfg, dense_K=dense_K
+        )
+
+        # ONE consolidated readback: in the relay's synchronous mode every
+        # fetched array pays its own round trip, so pose6/points/scalars are
+        # packed into a single buffer on device first. The dispatch above is
+        # async — only the np.asarray inside finish() blocks.
+        flat_dev = _pack_ba_result(
+            carry.prob.pose6, carry.prob.points, n_iters, cost_init,
+            carry.cost,
+        )
+
+        def finish() -> dict:
+            return apply_result(np.asarray(flat_dev))
 
         return finish

@@ -92,7 +92,7 @@ def _chunk_size(P: int, K: int, C: int) -> int:
 
 
 def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
-                   cam_mask, dtype=jnp.bfloat16):
+                   cam_mask, dtype=jnp.float32):
     """Materialize the reduced camera system S = H_cc_safe - W H_pp^-1 W^T
     as [6C, 6C] in IC ORDER: flat index q = i * C + c (parameter i of
     camera c), NOT the (c, i) order of the matrix-free path.
@@ -107,9 +107,10 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
     (solve_reduced_chol / ba._solve_lm) flatten rhs and unflatten the
     solution in the same order, so the permutation never materializes.
 
-    `dtype`: expansion/contraction element type. bfloat16 (default) runs
-    the expansion chain and the big matmul at MXU native rate with f32
-    accumulation; float32 is available for bitwise-strict paths.
+    `dtype`: expansion/contraction element type. float32 (the default,
+    matching BAConfig.dense_assemble_bf16=False) converges to machine
+    zero; bfloat16 assembles ~equal speed after the layout fix but stalls
+    deep convergence, so it is opt-in only.
 
     W: [O,6,3] flat per-observation coupling blocks (J_c^T J_p);
     Hpp_inv: [P,3,3]; slot maps from `group_slots`. Fixed cameras get

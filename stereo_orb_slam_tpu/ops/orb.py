@@ -119,16 +119,31 @@ def _make_steer_tables(k_bins: int = K_BINS) -> np.ndarray:
     return G
 
 
-_STEER = jnp.asarray(_make_steer_tables(), jnp.bfloat16)
 # Upright (unrotated) table — the default descriptor mode; kept with a
 # leading singleton bin axis so jitted signatures are uniform with _STEER.
 _UPRIGHT = jnp.asarray(_make_steer_tables(1), jnp.bfloat16)
+_steer_cache = {}
 
 
 def steer_table(oriented: bool):
     """The sampling table for compute_descriptors: [1, P^2, 512] upright
-    (default, reference-faithful) or [K_BINS, P^2, 512] steered."""
-    return _STEER if oriented else _UPRIGHT
+    (default, reference-faithful) or [K_BINS, P^2, 512] steered. The
+    steered table is ~30 MB and built/uploaded LAZILY — the default
+    pipeline never pays for it (import previously shipped it to the
+    remote device unconditionally, ~0.5-0.8 s on the relay)."""
+    if not oriented:
+        return _UPRIGHT
+    if "steer" not in _steer_cache:
+        _steer_cache["steer"] = jnp.asarray(_make_steer_tables(),
+                                            jnp.bfloat16)
+    return _steer_cache["steer"]
+
+
+def __getattr__(name):
+    # Back-compat: orb._STEER built on first access (PEP 562).
+    if name == "_STEER":
+        return steer_table(True)
+    raise AttributeError(name)
 
 
 def smooth_image(img, ksize: int = 7):

@@ -159,15 +159,15 @@ class DistributedBundleAdjuster:
         if n_obs == 0:
             return {}
 
-        from stereo_orb_slam_tpu.geometry import se3
+        from stereo_orb_slam_tpu.backend.ba import prepare_problem_arrays
 
         C = len(problem["frame_ids"])
         P_real = len(problem["point_ids"])
         P_pad = ba_mod._pad_to(P_real)
         O_pad = ba_mod._pad_to(n_obs, mult=256 * n_dev)
 
-        pose6 = np.asarray(
-            se3.matrix_to_pose6(se3.inverse(jnp.asarray(problem["cam_world"])))
+        pose6, s_cam, s_point, s_uv, cam_mask = prepare_problem_arrays(
+            problem, sort_by_point=False
         )
         points = np.zeros((P_pad, 3), np.float32)
         points[:P_real] = problem["point_xyz"]
@@ -175,12 +175,10 @@ class DistributedBundleAdjuster:
         obs_point = np.zeros(O_pad, np.int32)
         obs_uv = np.zeros((O_pad, 4), np.float32)
         obs_w = np.zeros(O_pad, np.float32)
-        obs_cam[:n_obs] = problem["obs_cam"]
-        obs_point[:n_obs] = problem["obs_point"]
-        obs_uv[:n_obs] = problem["obs_uv"]
+        obs_cam[:n_obs] = s_cam
+        obs_point[:n_obs] = s_point
+        obs_uv[:n_obs] = s_uv
         obs_w[:n_obs] = 1.0
-        cam_mask = np.ones(C, np.float32)
-        cam_mask[0] = 0.0
         point_mask = np.zeros(P_pad, np.float32)
         point_mask[:P_real] = 1.0
 
@@ -198,8 +196,10 @@ class DistributedBundleAdjuster:
         # see backend.ba.ba_solve_impl).
         carry, n_iters, cost_init = self._solve(prob, jnp.int32(iters))
 
-        cam_world_new = np.asarray(
-            se3.inverse(se3.pose6_to_matrix(carry.prob.pose6))
+        from stereo_orb_slam_tpu.geometry import se3_np
+
+        cam_world_new = se3_np.inverse_np(
+            se3_np.pose6_to_matrix_np(np.asarray(carry.prob.pose6))
         )
         world.ba_writeback(
             problem, cam_world_new, np.asarray(carry.prob.points[:P_real])
@@ -225,23 +225,17 @@ class DistributedBundleAdjuster:
         n_obs = len(problem["obs_cam"])
         if n_obs == 0:
             return {}
-        from stereo_orb_slam_tpu.geometry import se3_np
+        from stereo_orb_slam_tpu.backend.ba import prepare_problem_arrays
 
         n_dev = self.mesh.devices.size
         C = len(problem["frame_ids"])
         P_real = len(problem["point_ids"])
-        pose6 = se3_np.matrix_to_pose6_np(
-            se3_np.inverse_np(problem["cam_world"])
-        )
         # Point-sorted observation layout (the point-aligned contract).
-        order = np.argsort(np.asarray(problem["obs_point"]), kind="stable")
-        obs_point = np.asarray(problem["obs_point"])[order]
-        obs_cam = np.asarray(problem["obs_cam"])[order]
-        obs_uv = np.asarray(problem["obs_uv"])[order]
-        cam_mask = np.ones(C, np.float32)
-        cam_mask[0] = 0.0
+        pose6, obs_cam, obs_point, obs_uv, cam_mask = prepare_problem_arrays(
+            problem, sort_by_point=True
+        )
         prob, meta = build_point_aligned(
-            pose6.astype(np.float32), problem["point_xyz"], obs_cam,
+            pose6, problem["point_xyz"], obs_cam,
             obs_point, obs_uv, cam_mask,
             np.asarray(self._single.P_l), np.asarray(self._single.P_r),
             n_dev,
@@ -250,6 +244,8 @@ class DistributedBundleAdjuster:
         cfg = self.cfg
         iters = max_iterations or cfg.max_iterations
         carry, n_iters, cost_init = self._solve(prob, jnp.int32(iters))
+
+        from stereo_orb_slam_tpu.geometry import se3_np
 
         cam_world_new = se3_np.inverse_np(
             se3_np.pose6_to_matrix_np(np.asarray(carry.prob.pose6))

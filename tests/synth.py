@@ -115,6 +115,18 @@ def loop_trajectory(n, side=4.0, depth_jitter=0.0):
     return np.asarray(poses[:n], np.float32)
 
 
+
+
+def illum_gain_bias(f: int, amplitude: float):
+    """Slow exposure/lighting drift shared by the realistic renderers:
+    (gain, bias) for frame f, both eyes of a frame equally (shared-exposure
+    rig). Incommensurate periods so gain and bias never phase-lock."""
+    if amplitude <= 0:
+        return 1.0, 0.0
+    return (1.0 + amplitude * np.sin(2 * np.pi * f / 41.0),
+            24.0 * amplitude * np.sin(2 * np.pi * f / 59.0))
+
+
 # ----------------------------------------------------------------- CloudScene
 class CloudScene:
     """3D landmark cloud + patch-stamp renderer for arbitrary trajectories.
@@ -453,20 +465,12 @@ class CloudScene:
             img = img + r.normal(0, self.noise_sigma, img.shape)
         return img.clip(0, 255).astype(np.float32)
 
-    def _illum(self, f: int):
-        """Slow exposure/lighting drift: (gain, bias) for frame f."""
-        a = self.illum_drift
-        if a <= 0:
-            return 1.0, 0.0
-        return (1.0 + a * np.sin(2 * np.pi * f / 41.0),
-                24.0 * a * np.sin(2 * np.pi * f / 59.0))
-
     def render_sequence(self, traj):
-        """[(img_l, img_r)] for each pose in traj (illumination drift applies
-        to both eyes of a frame equally, like a shared-exposure rig)."""
+        """[(img_l, img_r)] for each pose in traj (illumination drift via
+        illum_gain_bias, both eyes of a frame equally)."""
         out = []
         for f, T in enumerate(traj):
-            g, b = self._illum(f)
+            g, b = illum_gain_bias(f, self.illum_drift)
             out.append((self.render_pose(T, False, gain=g, bias=b),
                         self.render_pose(T, True, gain=g, bias=b)))
         return out
@@ -621,17 +625,10 @@ class CanyonScene:
         ok &= (ub >= 0) & (ub < self.w) & (vb >= 0) & (vb < self.h)
         return np.stack([ub, vb], 1), ok
 
-    def _illum(self, f: int):
-        a = self.illum_drift
-        if a <= 0:
-            return 1.0, 0.0
-        return (1.0 + a * np.sin(2 * np.pi * f / 41.0),
-                24.0 * a * np.sin(2 * np.pi * f / 59.0))
-
     def render_sequence(self, traj):
         out = []
         for f, T in enumerate(traj):
-            g, b = self._illum(f)
+            g, b = illum_gain_bias(f, self.illum_drift)
             out.append((self.render_pose(T, False, gain=g, bias=b),
                         self.render_pose(T, True, gain=g, bias=b)))
         return out
