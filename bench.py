@@ -207,6 +207,8 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
 
     sto, scam, smask, K = schur_dense.group_slots(obs_point, obs_cam, P, O)
     slots = (jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask))
+    # Camera-run slot bucket (backend.ba.build_cam_slots_device).
+    cam_K = 1 << (int(np.bincount(obs_cam).max()) - 1).bit_length()
 
     # Production path: the WHOLE LM schedule is one device program
     # (ba_solve: init + while_loop over evaluate-once iterations).
@@ -217,7 +219,7 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
     chain = 20
     for _ in range(n_warm):
         carry2, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg_bench,
-                                   dense_slots=slots)
+                                   dense_slots=slots, cam_K=cam_K)
     jax.block_until_ready(carry2.prob.pose6)
     assert int(n_it) == chain
 
@@ -239,7 +241,7 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
 
     def it(i):
         c2, *_ = ba_solve(prob, jnp.int32(chain), cfg_bench,
-                          dense_slots=slots)
+                          dense_slots=slots, cam_K=cam_K)
         return c2.prob.pose6
 
     total = sync_min(it, n_iter)

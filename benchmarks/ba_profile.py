@@ -77,7 +77,8 @@ def make_problem(C, P, obs_per_cam, rng):
     )
     sto, scam, smask, K = schur_dense.group_slots(obs_point, obs_cam, P, O)
     slots = (jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask))
-    return prob, slots, K
+    cam_K = 1 << (int(np.bincount(obs_cam).max()) - 1).bit_length()
+    return prob, slots, K, cam_K
 
 
 def main():
@@ -92,13 +93,13 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    prob, slots, K = make_problem(args.C, args.P, args.obs_per_cam, rng)
+    prob, slots, K, cam_K = make_problem(args.C, args.P, args.obs_per_cam, rng)
     C, P = args.C, args.P
     O = args.C * args.obs_per_cam
     cfg = BAConfig(function_tolerance=0.0)
     chain = args.chain
 
-    carry, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots)
+    carry, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
     jax.block_until_ready(carry.prob.pose6)
     assert int(n_it) == chain
 
@@ -119,14 +120,15 @@ def main():
     rtt = tmin(lambda: noop(zz), max(8, args.iters))
     t_solve = tmin(
         lambda: ba_solve(prob, jnp.int32(chain), cfg,
-                         dense_slots=slots)[0].prob.pose6,
+                         dense_slots=slots, cam_K=cam_K)[0].prob.pose6,
         args.iters,
     ) - rtt
     it_ms = t_solve / chain * 1e3
 
     # ---- trace + HLO source attribution -----------------------------------
-    lowered = jax.jit(ba_solve_impl, static_argnames=("cfg",)).lower(
-        prob, jnp.int32(chain), cfg, dense_slots=slots)
+    lowered = jax.jit(ba_solve_impl,
+                      static_argnames=("cfg", "cam_K")).lower(
+        prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
     hlo = lowered.compile().as_text()
     srcmap = {}
     for m in re.finditer(
@@ -136,7 +138,7 @@ def main():
         srcmap[m.group(1)] = (m.group(2).split("/")[-1], int(m.group(3)))
 
     jax.profiler.start_trace(args.trace_dir)
-    carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots)
+    carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
     jax.block_until_ready(carry.prob.pose6)
     jax.profiler.stop_trace()
 

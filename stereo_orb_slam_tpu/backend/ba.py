@@ -84,25 +84,65 @@ def _seg_sum_points(x, obs_point, num, axis_name=None, dense_slots=None):
     return jnp.sum(g, axis=1).reshape((sto.shape[0],) + x.shape[1:])[:num]
 
 
-def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_onehot=None):
+def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_slots=None):
     """Per-camera reduction of per-observation rows x [O, F].
 
-    Matrix-free/distributed: a segment-sum scatter (psum-compatible). With
-    `cam_onehot` [C, O] (dense windowed path), it is ONE one-hot matmul on
-    the MXU — XLA's TPU scatter-add serializes duplicate indices and
-    profiled at ~6.5 ms per LM iteration for the camera Hessian blocks at
-    O=131k, while the equivalent [C,O]x[O,F] matmul measures <0.1 ms
-    (BA_PROFILE_r03). The one-hot is a pure function of obs_cam, built once
-    per solve and loop-invariant across LM iterations.
+    Matrix-free/distributed: a segment-sum scatter (psum-compatible) —
+    XLA's TPU scatter-add serializes duplicate indices (~6.5 ms per LM
+    iteration for the camera Hessian blocks at O=131k). With `cam_slots`
+    ([C,Kc] slot map + mask from build_cam_slots_device, the dense windowed
+    path), it is a gather + local sum over the Kc slot axis — the same
+    trick _seg_sum_points uses. The r3 one-hot matmul alternative ([C,O] @
+    [O,F]) was loop-invariant on paper but XLA fused the 105 MB one-hot
+    GENERATION into each iteration's consumers: 8.07 of 12.02 ms per LM
+    iteration, 67% of the solve (BA_PROFILE_r03, ba.py:500). The slot map
+    is a materialized int32 array (C*Kc ~ 0.8 MB), so nothing re-runs
+    inside the while_loop; the per-iteration cost is two well-shaped row
+    gathers (~40 MB) at HBM bandwidth.
     """
-    if cam_onehot is None:
+    if cam_slots is None:
         return _seg_sum(x, obs_cam, num, axis_name)
-    return cam_onehot @ x
+    # Local-only reduction: the dense windowed path never runs sharded
+    # (the documented dense/axis_name mutual exclusion; advisor r3).
+    assert axis_name is None, "cam_slots is a single-device reduction"
+    from stereo_orb_slam_tpu.backend.schur_dense import slot_gather
+
+    sto, mask = cam_slots
+    g = slot_gather(x, sto, mask, sorted_indices=False)  # [C,Kc,F]
+    return jnp.sum(g, axis=1)[:num]
+
+
+def build_cam_slots_device(obs_cam, obs_weight, n_cams: int, Kc: int):
+    """Device-side camera-run slot maps: [C, Kc] indices into the
+    point-sorted obs arrays grouping each camera's observations, plus the
+    validity mask. The camera twin of build_slots_device — but obs_cam is
+    NOT sorted in the point-sorted layout, so the runs come from a stable
+    argsort (materialized once per solve, loop-invariant across the LM
+    while_loop). Counts/starts are derived with binary searches on the
+    sorted keys — no duplicate-index scatter anywhere.
+
+    Only the static Kc bucket (max observations per camera, pow2) is chosen
+    on host. Padding rows (obs_weight == 0) sort after all real cameras.
+    """
+    O = obs_cam.shape[0]
+    real = obs_weight > 0
+    key = jnp.where(real, obs_cam, n_cams).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sorted_cam = key[order]
+    cams = jnp.arange(n_cams, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_cam, cams, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_cam, cams, side="right").astype(jnp.int32)
+    counts = ends - starts
+    k = jnp.arange(Kc, dtype=jnp.int32)
+    run = jnp.minimum(k[None, :], jnp.maximum(counts - 1, 0)[:, None])
+    sto = order[jnp.minimum(starts[:, None] + run, max(O - 1, 0))]
+    mask = (k[None, :] < counts[:, None]).astype(jnp.float32)
+    return sto, mask
 
 
 def build_normal_equations(prob: BAProblem, huber_delta: float,
                            axis_name=None, dense_slots=None,
-                           cam_onehot=None, point_sharded: bool = False):
+                           cam_slots=None, point_sharded: bool = False):
     """point_sharded: the POINT-ALIGNED distributed layout
     (parallel/dist_ba.shard_problem_point_aligned) — every point's whole
     observation run lives on one device, so point-side reductions are
@@ -119,7 +159,7 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     )
     # Camera-side reductions fused into one row per observation: one
     # matmul (dense path) / one scatter (matrix-free) instead of two.
-    cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_onehot)
+    cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_slots)
     H_cc = cam_red[:, :36].reshape(-1, 6, 6)             # [C,6,6]
     b_c = -cam_red[:, 36:]                               # [C,6]
     # Point-side reductions fused into one row per observation (a single
@@ -249,7 +289,7 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
 
 def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
-              axis_name=None, dense_slots=None, cam_onehot=None,
+              axis_name=None, dense_slots=None, cam_slots=None,
               point_sharded: bool = False):
     """Damp, marginalize points (Schur), solve the reduced camera system,
     back-substitute. Returns the PROPOSED (pose6, points) for this lambda.
@@ -272,7 +312,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
     hp_bp = jnp.einsum("nij,nj->ni", Hpp_inv, b_p)
     rhs = b_c - _seg_sum_cams(
         jnp.einsum("oij,oj->oi", W, hp_bp[prob.obs_point]), prob.obs_cam,
-        b_c.shape[0], axis_name, cam_onehot,
+        b_c.shape[0], axis_name, cam_slots,
     )
     rhs = rhs * prob.cam_mask[:, None]
 
@@ -318,7 +358,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
 
 
 def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
-                 dense_slots=None, cam_onehot=None,
+                 dense_slots=None, cam_slots=None,
                  point_sharded: bool = False):
     """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
 
@@ -331,12 +371,12 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
     backend/schur_dense.py). Mutually exclusive with `axis_name`.
     """
     H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot,
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_slots,
         point_sharded,
     )
     pose6_new, points_new = _solve_lm(
         prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots,
-        cam_onehot, point_sharded,
+        cam_slots, point_sharded,
     )
 
     cost1 = res_mod.robust_cost(
@@ -378,10 +418,10 @@ class LMCarry(NamedTuple):
 
 
 def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
-                 axis_name=None, cam_onehot=None,
+                 axis_name=None, cam_slots=None,
                  point_sharded: bool = False):
     H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots, cam_onehot,
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_slots,
         point_sharded,
     )
     return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
@@ -389,7 +429,7 @@ def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
 
 
 def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
-                      axis_name=None, cam_onehot=None,
+                      axis_name=None, cam_slots=None,
                       point_sharded: bool = False):
     """One evaluate-once LM iteration (single-device fast path).
 
@@ -403,11 +443,11 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     prob = carry.prob
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
-        carry.lam, cfg, axis_name, dense_slots, cam_onehot, point_sharded,
+        carry.lam, cfg, axis_name, dense_slots, cam_slots, point_sharded,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
     H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
-        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_onehot,
+        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_slots,
         point_sharded,
     )
 
@@ -467,7 +507,7 @@ def build_slots_device(obs_point, obs_cam, obs_weight, n_points_pad: int,
 
 def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
                   dense_slots=None, axis_name=None, dense_K=None,
-                  point_sharded: bool = False):
+                  point_sharded: bool = False, cam_K=None):
     """Full LM solve in ONE device program: init + `lax.while_loop` over
     evaluate-once iterations with the reference's convergence exit (relative
     cost decrease < function_tolerance on an accepted step, the Ceres
@@ -482,26 +522,22 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
 
     `dense_slots` may be passed explicitly (precomputed host maps), or
     derived on device when `dense_K` (static) is given — the live-loop path,
-    which avoids uploading ~P*K*12 bytes of slot maps per solve.
+    which avoids uploading ~P*K*12 bytes of slot maps per solve. `cam_K`
+    (static, pow2 >= max observations per camera) likewise enables the
+    camera-run slot maps — without it the camera reductions fall back to
+    the (slow but always-correct) scatter.
     """
     if dense_slots is None and dense_K is not None:
         dense_slots = build_slots_device(
             prob.obs_point, prob.obs_cam, prob.obs_weight,
             prob.points.shape[0], dense_K,
         )
-    cam_onehot = None
-    C = prob.pose6.shape[0]
-    O = prob.obs_cam.shape[0]
-    if dense_slots is not None and C * O <= (1 << 26):
-        # Constant across LM iterations: one [C,O] f32 one-hot turns every
-        # camera-side reduction into an MXU matmul (see _seg_sum_cams).
-        # Size-gated to 256 MB: at the dense-path envelope (C=512,
-        # O_pad=2^19) the one-hot would exceed 1 GB live across the whole
-        # while_loop — those solves fall back to the scatter reduction.
-        cam_onehot = (prob.obs_cam[None, :]
-                      == jnp.arange(C, dtype=prob.obs_cam.dtype)[:, None]
-                      ).astype(jnp.float32)
-    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_onehot,
+    cam_slots = None
+    if dense_slots is not None and cam_K is not None:
+        cam_slots = build_cam_slots_device(
+            prob.obs_cam, prob.obs_weight, prob.pose6.shape[0], cam_K,
+        )
+    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_slots,
                           point_sharded)
     cost_init = carry0.cost
 
@@ -514,7 +550,7 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
         new_carry, accepted, c0, c1 = lm_iteration_impl(carry, cfg,
                                                         dense_slots,
                                                         axis_name,
-                                                        cam_onehot,
+                                                        cam_slots,
                                                         point_sharded)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
@@ -529,7 +565,7 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
 
 ba_solve = jax.jit(ba_solve_impl,
                    static_argnames=("cfg", "axis_name", "dense_K",
-                                    "point_sharded"))
+                                    "point_sharded", "cam_K"))
 
 
 def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
@@ -643,12 +679,15 @@ class BundleAdjuster:
         self.last_stats = {}
 
     def optimize(self, start_frame: int, end_frame: int,
-                 max_iterations: Optional[int] = None) -> dict:
-        fin = self.optimize_async(start_frame, end_frame, max_iterations)
+                 max_iterations: Optional[int] = None,
+                 max_seconds: Optional[float] = None) -> dict:
+        fin = self.optimize_async(start_frame, end_frame, max_iterations,
+                                  max_seconds)
         return fin() if fin is not None else {}
 
     def optimize_async(self, start_frame: int, end_frame: int,
-                       max_iterations: Optional[int] = None):
+                       max_iterations: Optional[int] = None,
+                       max_seconds: Optional[float] = None):
         """Build + DISPATCH the solve; return a finish() closure that blocks
         on the single packed readback and applies the writeback.
 
@@ -671,6 +710,14 @@ class BundleAdjuster:
         P_real = len(problem["point_ids"])
         P_pad = _pad_to_fine(P_real)
         O_pad = _pad_to(n_obs)
+        # Camera count is ALSO bucketed (half-octave, min 4): the window
+        # count used to ride the exact frame range, so the early ramp
+        # (C = 2, 3, ..., 2*refine_interval+K) and every loop-closure global
+        # solve (C = n at closure time) each compiled a fresh XLA program —
+        # the bulk of r3's 61 endurance compiles (r4 directive 1b). Padded
+        # cameras are held fixed (cam_mask 0, identity rows) and carry no
+        # observations, so the solve is unchanged.
+        C_pad = _pad_to_fine(C, mult=4)
 
         from stereo_orb_slam_tpu.geometry import se3_np
 
@@ -679,6 +726,11 @@ class BundleAdjuster:
         pose6, s_cam, s_point, s_uv, cam_mask = prepare_problem_arrays(
             problem, sort_by_point=True
         )
+        if C_pad > C:
+            pose6 = np.concatenate(
+                [pose6, np.zeros((C_pad - C, 6), np.float32)])
+            cam_mask = np.concatenate(
+                [cam_mask, np.zeros(C_pad - C, np.float32)])
         points = np.zeros((P_pad, 3), np.float32)
         points[:P_real] = problem["point_xyz"]
 
@@ -713,12 +765,22 @@ class BundleAdjuster:
         # [P,K] slot maps themselves are derived ON DEVICE inside ba_solve
         # (uploading them cost more than the solve on the relay transport).
         dense_K = None
-        if C <= cfg.dense_schur_max_cams:
+        cam_K = None
+        if C_pad <= cfg.dense_schur_max_cams:
             kmax = int(np.bincount(obs_point[:n_obs],
                                    minlength=1).max(initial=2))
             K = 1 << (max(kmax, 2) - 1).bit_length()
             if P_pad * K <= cfg.dense_schur_max_slots:
                 dense_K = K
+                # Camera-run slot bucket (per-camera twin of K). Gated so a
+                # pathological skew (one camera owning most observations)
+                # can't blow the [C,Kc,F] gather past ~4x the obs arrays —
+                # beyond that the scatter fallback is the better trade.
+                kcam = int(np.bincount(obs_cam[:n_obs],
+                                       minlength=1).max(initial=2))
+                Kc = 1 << (max(kcam, 2) - 1).bit_length()
+                if C_pad * Kc <= 4 * O_pad:
+                    cam_K = Kc
 
         iters = max_iterations or cfg.max_iterations
         # Entire LM schedule in one device program — a single host sync per
@@ -734,8 +796,9 @@ class BundleAdjuster:
             """Shared writeback: unpack the packed result buffer, convert
             pose6 (world->camera) -> camera-to-world matrices (host math,
             geometry/se3_np.py), and write the world."""
-            pose6_new = flat[: C * 6].reshape(C, 6)
-            points_new = flat[C * 6 : C * 6 + P_pad * 3].reshape(P_pad, 3)
+            pose6_new = flat[: C_pad * 6].reshape(C_pad, 6)[:C]
+            points_new = flat[C_pad * 6
+                              : C_pad * 6 + P_pad * 3].reshape(P_pad, 3)
             n_it, c0, c1 = flat[-3:]
             cam_world_new = se3_np.inverse_np(
                 se3_np.pose6_to_matrix_np(pose6_new)
@@ -752,7 +815,15 @@ class BundleAdjuster:
             }
             return self.last_stats
 
-        if dense_K is None and O_pad >= (1 << 19):
+        # Per-call wall cap override (live loop-closure solves pass the
+        # reference's 1 s Ceres budget, ref src/params.h:41); falls back to
+        # the config default. A cap forces the chunked path even for
+        # mid-size matrix-free problems — a single dispatch cannot be
+        # interrupted, so enforceability requires host sync points.
+        cap_seconds = (max_seconds if max_seconds is not None
+                       else cfg.max_solve_seconds)
+        if dense_K is None and (O_pad >= (1 << 19)
+                                or (cap_seconds > 0 and O_pad >= (1 << 16))):
             # Only the INIT dispatch goes out now; the chunk loop (which
             # must sync per chunk) runs inside finish(), preserving the
             # optimize_async contract that nothing blocks before finish.
@@ -762,6 +833,9 @@ class BundleAdjuster:
                 import time as _time
 
                 chunk = max(1, (1 << 22) // O_pad)
+                if cap_seconds > 0:
+                    # Check the clock at least every 8 iterations.
+                    chunk = min(chunk, 8)
                 t0 = _time.perf_counter()
                 carry = carry0
                 cost_init = carry.cost
@@ -772,9 +846,8 @@ class BundleAdjuster:
                     n_done += int(k_run)  # sync point bounds the dispatch
                     if bool(conv):
                         break
-                    if (cfg.max_solve_seconds > 0
-                            and _time.perf_counter() - t0
-                            > cfg.max_solve_seconds):
+                    if (cap_seconds > 0
+                            and _time.perf_counter() - t0 > cap_seconds):
                         # Reference parity: Ceres max_solver_time (1 s cap,
                         # ref src/params.h:41) returns best-so-far.
                         break
@@ -787,7 +860,7 @@ class BundleAdjuster:
             return finish_chunked
 
         carry, n_iters, cost_init = ba_solve(
-            prob, jnp.int32(iters), cfg, dense_K=dense_K
+            prob, jnp.int32(iters), cfg, dense_K=dense_K, cam_K=cam_K
         )
 
         # ONE consolidated readback: in the relay's synchronous mode every
