@@ -45,9 +45,8 @@ from stereo_orb_slam_tpu.utils.profiling import StageTimers
 from stereo_orb_slam_tpu.worldmap import WorldMap
 
 
-@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
-def _loop_edges_program(d_src, d_dst, v_src, v_dst, uv_src, uv_dst, keys,
-                        rig, fe, rc, rectified):
+def _loop_edges_core(d_src, d_dst, v_src, v_dst, uv_src, uv_dst, keys,
+                     rig, fe, rc, rectified):
     """E loop edges' match + triangulate + RANSAC in ONE device program.
 
     The reference measures each loop edge with a fresh MatchPoints +
@@ -109,8 +108,31 @@ def _loop_edges_program(d_src, d_dst, v_src, v_dst, uv_src, uv_dst, keys,
     return jax.vmap(one)(d_src, d_dst, v_src, v_dst, uv_src, uv_dst, keys)
 
 
+_loop_edges_program = partial(jax.jit, static_argnames=("fe", "rc",
+                                                        "rectified"))(
+    _loop_edges_core)
+
+
+@partial(jax.jit, static_argnames=("fe", "rc", "rectified"))
+def _loop_edges_from_banks(bank_desc, bank_valid, bank_uv, src_ids, dst_ids,
+                           edge_valid, keys, rig, fe, rc, rectified):
+    """_loop_edges_core fed straight from the DEVICE feature-bank rings
+    (odometer.frontend_chain_packed_bow): the E edges' descriptor banks are
+    gathered by frame id on device, so measuring a batch of loop edges
+    uploads only 2E int32 ids instead of E_pad * (8N desc + N valid + 4N
+    uv) words (~53 KB/frame) over the relay. Padded rows (edge_valid False)
+    have every slot masked invalid -> success False, exactly like the
+    host-packed path."""
+    v_src = bank_valid[src_ids] & edge_valid[:, None]
+    v_dst = bank_valid[dst_ids] & edge_valid[:, None]
+    return _loop_edges_core(
+        bank_desc[src_ids], bank_desc[dst_ids], v_src, v_dst,
+        bank_uv[src_ids], bank_uv[dst_ids], keys, rig, fe, rc, rectified,
+    )
+
+
 def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
-                      seed: int = 1234):
+                      seed: int = 1234, bank_getter=None):
     """Loop-edge measurement: re-match stored frame features and RANSAC the
     relative transform; merge matched landmark identities.
 
@@ -118,6 +140,13 @@ def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
     that measures ALL pending edges in one device program + one readback
     (identical math/randomness: per-edge keys are fold_in(base, counter),
     with the counter advancing once per edge in either mode).
+
+    `bank_getter` (optional): () -> (bank_desc, bank_valid, bank_uv) device
+    rings or None. When rings are available (the fused-BoW batched live
+    loop), the edge program gathers the frame banks DEVICE-SIDE by frame id
+    (_loop_edges_from_banks) — the host path below (world.frame_desc upload)
+    is the fallback for the sequential mode, where the host mirrors are
+    authoritative.
 
     Z satisfies X_dst = Z @ X_src (equivalently T_dst^-1 T_src = Z), matching
     the reference's loop-edge convention (SURVEY.md C12)."""
@@ -149,27 +178,45 @@ def make_loop_matcher(world: WorldMap, rig: cam_mod.StereoRig, cfg: SlamConfig,
         # Pow2 padding keeps the jit shape bucketed; padded rows are
         # all-invalid (n_valid = 0 -> success False).
         E_pad = max(2, 1 << (E - 1).bit_length())
-        d_s = np.zeros((E_pad, n, 8), np.uint32)
-        d_d = np.zeros((E_pad, n, 8), np.uint32)
-        v_s = np.zeros((E_pad, n), bool)
-        v_d = np.zeros((E_pad, n), bool)
-        uv_s = np.zeros((E_pad, n, 4), np.float32)
-        uv_d = np.zeros((E_pad, n, 4), np.float32)
-        for e, (src, dst) in enumerate(edges):
-            d_s[e] = world.frame_desc[src]
-            d_d[e] = world.frame_desc[dst]
-            v_s[e] = world.frame_feat_valid[src]
-            v_d[e] = world.frame_feat_valid[dst]
-            uv_s[e] = world.frame_feat_uv[src]
-            uv_d[e] = world.frame_feat_uv[dst]
-        idxs = jnp.arange(counter[0], counter[0] + E_pad)
+        # Counter advances once per REAL edge; padded slots (all-invalid,
+        # success=False by construction) reuse the last real key so no key
+        # index consumed by padding is ever reused for a real edge later
+        # (advisor r3).
+        idxs = jnp.minimum(jnp.arange(counter[0], counter[0] + E_pad),
+                           counter[0] + E - 1)
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(idxs)
         counter[0] += E
-        packed = np.asarray(_loop_edges_program(
-            jnp.asarray(d_s), jnp.asarray(d_d), jnp.asarray(v_s),
-            jnp.asarray(v_d), jnp.asarray(uv_s), jnp.asarray(uv_d),
-            keys, rig, fe, rc, rect,
-        ))  # ONE transfer
+        banks = bank_getter() if bank_getter is not None else None
+        if banks is not None:
+            src_ids = np.zeros(E_pad, np.int32)
+            dst_ids = np.zeros(E_pad, np.int32)
+            ev = np.zeros(E_pad, bool)
+            for e, (src, dst) in enumerate(edges):
+                src_ids[e], dst_ids[e], ev[e] = src, dst, True
+            packed = np.asarray(_loop_edges_from_banks(
+                banks[0], banks[1], banks[2], jnp.asarray(src_ids),
+                jnp.asarray(dst_ids), jnp.asarray(ev), keys,
+                rig, fe, rc, rect,
+            ))  # ONE transfer
+        else:
+            d_s = np.zeros((E_pad, n, 8), np.uint32)
+            d_d = np.zeros((E_pad, n, 8), np.uint32)
+            v_s = np.zeros((E_pad, n), bool)
+            v_d = np.zeros((E_pad, n), bool)
+            uv_s = np.zeros((E_pad, n, 4), np.float32)
+            uv_d = np.zeros((E_pad, n, 4), np.float32)
+            for e, (src, dst) in enumerate(edges):
+                d_s[e] = world.frame_desc[src]
+                d_d[e] = world.frame_desc[dst]
+                v_s[e] = world.frame_feat_valid[src]
+                v_d[e] = world.frame_feat_valid[dst]
+                uv_s[e] = world.frame_feat_uv[src]
+                uv_d[e] = world.frame_feat_uv[dst]
+            packed = np.asarray(_loop_edges_program(
+                jnp.asarray(d_s), jnp.asarray(d_d), jnp.asarray(v_s),
+                jnp.asarray(v_d), jnp.asarray(uv_s), jnp.asarray(uv_d),
+                keys, rig, fe, rc, rect,
+            ))  # ONE transfer
         out = []
         for e, (src, dst) in enumerate(edges):
             row = packed[e]
@@ -207,7 +254,13 @@ class SlamSystem:
         self.ba = BundleAdjuster(self.world, rig, self.cfg.ba)
         self.pgo = PoseGraphOptimizer(
             self.world, self.cfg.pose_graph, bundle_adjuster=self.ba,
-            loop_matcher=make_loop_matcher(self.world, rig, self.cfg),
+            loop_matcher=make_loop_matcher(
+                self.world, rig, self.cfg,
+                # Device feature-bank rings as of the last COLLECTED batch
+                # (set by collect_batch): the loop matcher gathers frame
+                # banks device-side instead of uploading them from host.
+                bank_getter=lambda: self.vo.last_banks,
+            ),
         )
         self.vocab = vocab
         self.vocab_train_frames = vocab_train_frames
@@ -226,6 +279,10 @@ class SlamSystem:
         # Device-resident (database, db_size) threaded between fused chain
         # dispatches; None = rebuild from the LoopDetector host state.
         self._bow_dev = None
+        # Device feature-bank rings (desc [cap,N,8], valid [cap,N],
+        # uv [cap,N,4]) threaded between fused dispatches alongside the BoW
+        # database; rows align with database rows == world frame ids.
+        self._bank_dev = None
         self.pgo.pre_optimize_hook = self._finish_pending_ba
 
     def _finish_pending_ba(self):
@@ -274,10 +331,31 @@ class SlamSystem:
             )
 
     # ----------------------------------------------------------------- frames
+    def sync_feature_banks(self):
+        """Fetch the device descriptor rings back into world.frame_desc
+        (ONE bulk transfer). Needed before anything reads host descriptors
+        after fused-BoW batches ran — checkpoint save, vocabulary retrain,
+        or falling back to single-frame tracking (whose loop matcher reads
+        the host mirrors)."""
+        if self._bank_dev is None or not self.world.frame_desc_stale:
+            return
+        nf = self.world.num_frames
+        self.world.frame_desc[:nf] = jax.device_get(self._bank_dev[0][:nf])
+        self.world.frame_desc_stale = False
+
     def process(self, img_l: np.ndarray, img_r: np.ndarray) -> np.ndarray:
         """One frame through the full pipeline (ref slam.cpp:108-148)."""
         cfg = self.cfg
         self.flush()
+        if self._bank_dev is not None:
+            # Mode switch batched -> sequential: the sequential loop matcher
+            # and map bookkeeping use the HOST mirrors, so sync the device
+            # rings down once and retire them (frames tracked from here on
+            # write host descriptors again).
+            self.sync_feature_banks()
+            self._bank_dev = None
+            self._bow_dev = None
+            self.vo.last_banks = None
         with self.timers.time("vo.track"):
             trans = self.vo.track(img_l, img_r)
 
@@ -360,6 +438,7 @@ class SlamSystem:
                 # ingest_batch_topk clobbers them (advisor r2, high).
                 drained = self._collect_pending_batch()
                 self._bow_dev = None
+                self._bank_dev = None
             inflight = self._pending_batch["k"] if self._pending_batch else 0
             if (self.loop.db_size + inflight + k
                     > self.loop.database.shape[0]):
@@ -368,16 +447,46 @@ class SlamSystem:
                 drained += self._collect_pending_batch()
                 self.loop._ensure_capacity(self.loop.db_size + k)
                 self._bow_dev = None
+                if self._bank_dev is not None:
+                    # Grow the feature-bank rings DEVICE-SIDE to the new
+                    # capacity (the host frame_desc mirror is stale in this
+                    # mode, so re-uploading is not an option).
+                    cap = self.loop.database.shape[0]
+
+                    def grow(b):
+                        bigger = jnp.zeros((cap,) + b.shape[1:], b.dtype)
+                        return bigger.at[: b.shape[0]].set(b)
+
+                    self._bank_dev = tuple(grow(b) for b in self._bank_dev)
             if self._bow_dev is None:
                 self._bow_dev = (jnp.asarray(self.loop.database),
                                  jnp.int32(self.loop.db_size))
+            if self._bank_dev is None:
+                # Fresh rings at database capacity; frames recorded BEFORE
+                # the fused-BoW mode began (pre-vocabulary batches, single-
+                # frame tracking) backfill from the host mirrors — those
+                # frames went through set_frame_features with real desc.
+                n = cfg.frontend.num_features
+                cap = self.loop.database.shape[0]
+                nf = self.world.num_frames
+                assert not self.world.frame_desc_stale
+                bd = jnp.zeros((cap, n, 8), jnp.uint32)
+                bv = jnp.zeros((cap, n), bool)
+                bu = jnp.zeros((cap, n, 4), jnp.float32)
+                if nf > 0:
+                    bd = bd.at[:nf].set(self.world.frame_desc[:nf])
+                    bv = bv.at[:nf].set(self.world.frame_feat_valid[:nf])
+                    bu = bu.at[:nf].set(self.world.frame_feat_uv[:nf])
+                self._bank_dev = (bd, bv, bu)
             bow = (self.vocab.centroids, self.vocab.idf, self._bow_dev[0],
                    self._bow_dev[1], cfg.loop.query_size)
 
         with self.timers.time("vo.dispatch"):
-            handle = self.vo.dispatch_batch(imgs_l, imgs_r, bow=bow)
+            handle = self.vo.dispatch_batch(imgs_l, imgs_r, bow=bow,
+                                            banks=self._bank_dev)
         if bow is not None:
             self._bow_dev = (handle["bow"][0], handle["bow"][1])
+            self._bank_dev = handle["banks"]
 
         out = self._collect_pending_batch()
         self._pending_batch = handle
@@ -431,6 +540,7 @@ class SlamSystem:
                     self.vo.last_batch_recorded,
                 )
                 self._bow_dev = None
+                self._bank_dev = None
         if self.loop is None and n > n_before:
             self._maybe_train_vocab()
 

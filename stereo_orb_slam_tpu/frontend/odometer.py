@@ -271,11 +271,18 @@ def frontend_chain(
     return final_carry, stacked
 
 
-def _pack_chain_results(res: StepResult, k: int, n: int):
+def _pack_chain_results(res: StepResult, k: int, n: int,
+                        include_desc: bool = True):
     """On-device packing of K stacked StepResults into ONE uint32 buffer
-    [K, 17N+20]. Layout per frame (N = num_features):
+    [K, 17N+20] (or [K, 9N+20] without descriptors). Layout per frame
+    (N = num_features):
 
-      [0:8N)          desc (8 words/slot)
+      [0:8N)          desc (8 words/slot) — OMITTED when include_desc is
+                      False (the fused-BoW path keeps descriptor banks
+                      device-resident; desc was 8N of the 17N+20 words,
+                      ~47%% of the packed readback, and its only host
+                      consumer was the loop-edge matcher — which is itself
+                      a device program; r3 verdict weak #2)
       [8N:9N)         prev_idx (int32 bits)
       [9N:10N)        flags: bit0 = valid, bit1 = tracked
       [10N:17N)       f32 bits: kp_l (2N), kp_r (2N), pts (3N)
@@ -285,8 +292,8 @@ def _pack_chain_results(res: StepResult, k: int, n: int):
     bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
     flags = (res.slots.valid.astype(jnp.uint32)
              | (res.tracked.astype(jnp.uint32) << 1))
-    return jnp.concatenate([
-        res.slots.desc.reshape(k, 8 * n),
+    head = [res.slots.desc.reshape(k, 8 * n)] if include_desc else []
+    return jnp.concatenate(head + [
         bits(res.prev_idx.astype(jnp.int32)).reshape(k, n),
         flags.reshape(k, n),
         bits(res.slots.kp_l).reshape(k, 2 * n),
@@ -331,6 +338,7 @@ def frontend_chain_packed_bow(
     imgs_l, imgs_r, prev, prev_initialized, keys,
     rig, max_distance, fe: FrontendConfig, rc: RansacConfig, rectified, steer,
     centroids, idf, database, db_size, query_size: int,
+    bank_desc, bank_valid, bank_uv,
 ):
     """frontend_chain_packed + the K frames' BoW scoring/database append
     FUSED into the same device program (the whole per-batch hot path of
@@ -343,13 +351,23 @@ def frontend_chain_packed_bow(
     candidates ride the packed buffer. `recorded` is derived on device from
     the same state machine the host replays (num_stereo gate).
 
-    Returns (carry, packed [K, 17N+20+2*query_size], new_database,
-    new_db_size). The appended words per frame are: top_ids int32 bits
-    [query_size], top_scores f32 bits [query_size]. The Bayes filter
-    replays on host from those (LoopDetector.ingest_batch_topk). `carry`,
-    `new_database`, and `new_db_size` stay device-resident so the next
-    batch's chain can be dispatched before this one's readback (pipelined
-    mode).
+    The recorded frames' feature banks — descriptors [N,8], validity [N],
+    ideal-pinhole stereo observations [N,4] — are ALSO appended to the
+    device-resident rings `bank_desc [cap,N,8] / bank_valid [cap,N] /
+    bank_uv [cap,N,4]` at row = world frame id (same append rule as the BoW
+    database, so ring rows align with database rows and frame ids). Their
+    only consumer, the loop-edge matcher (apps.slam._loop_edges_program),
+    gathers them device-side; descriptors therefore never ride the packed
+    readback in this mode (8N of 17N+20 words, ~47%% of the transfer —
+    r3 verdict weak #2 / directive 3; hot loop ref `src/slam.cpp:108-134`).
+
+    Returns (carry, packed [K, 9N+20+2*query_size], new_database,
+    new_db_size, (new_bank_desc, new_bank_valid, new_bank_uv)). The
+    appended words per frame are: top_ids int32 bits [query_size],
+    top_scores f32 bits [query_size]. The Bayes filter replays on host from
+    those (LoopDetector.ingest_batch_topk). `carry`, `new_database`,
+    `new_db_size`, and the banks stay device-resident so the next batch's
+    chain can be dispatched before this one's readback (pipelined mode).
     """
     from stereo_orb_slam_tpu.loop.vocab import batch_score_update
 
@@ -359,22 +377,47 @@ def frontend_chain_packed_bow(
     )
     k = imgs_l.shape[0]
     n = fe.num_features
-    packed = _pack_chain_results(res, k, n)
+    packed = _pack_chain_results(res, k, n, include_desc=False)
     recorded = res.num_stereo >= fe.min_stereo_matches
     top_ids, top_scores, new_db = batch_score_update(
         res.slots.desc, res.slots.valid, recorded, centroids, idf,
         database, db_size, query_size=query_size,
     )
     new_db_size = db_size + jnp.sum(recorded.astype(jnp.int32))
+    # Feature-bank ring append (same row rule as batch_score_update:
+    # recorded frame j lands at db_size + #recorded-before-j; unrecorded
+    # frames park on a scratch row that is sliced off).
+    cap = bank_desc.shape[0]
+    rec_i = recorded.astype(jnp.int32)
+    rows = db_size + jnp.cumsum(rec_i) - rec_i
+    safe_rows = jnp.where(recorded, rows, cap)
+    uv4 = jnp.concatenate([res.slots.kp_l, res.slots.kp_r], axis=-1)
+
+    def ring_append(bank, vals):
+        padded = jnp.concatenate(
+            [bank, jnp.zeros((1,) + bank.shape[1:], bank.dtype)], axis=0
+        )
+        return padded.at[safe_rows].set(vals)[:cap]
+
+    new_banks = (
+        ring_append(bank_desc, res.slots.desc),
+        ring_append(bank_valid, res.slots.valid),
+        ring_append(bank_uv, uv4),
+    )
     bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
     packed = jnp.concatenate(
         [packed, bits(top_ids), bits(top_scores)], axis=1
     )
-    return carry, packed, new_db, new_db_size
+    return carry, packed, new_db, new_db_size, new_banks
 
 
-def unpack_step_results(packed: np.ndarray, n: int) -> list:
-    """Host-side inverse of frontend_chain_packed: K numpy StepResults."""
+def unpack_step_results(packed: np.ndarray, n: int,
+                        has_desc: bool = True) -> list:
+    """Host-side inverse of frontend_chain_packed: K numpy StepResults.
+
+    `has_desc=False` (the fused-BoW layout): slots.desc is None — the
+    descriptors stayed in the device banks and have no host consumer on
+    this path (worldmap.set_frame_features skips the desc write)."""
     k = packed.shape[0]
     off = 0
 
@@ -384,7 +427,7 @@ def unpack_step_results(packed: np.ndarray, n: int) -> list:
         off += cnt
         return out
 
-    desc = take(8 * n).reshape(k, n, 8)
+    desc = take(8 * n).reshape(k, n, 8) if has_desc else None
     prev_idx = take(n).view(np.int32)
     flags = take(n)
     kp_l = take(2 * n).view(np.float32).reshape(k, n, 2)
@@ -396,7 +439,8 @@ def unpack_step_results(packed: np.ndarray, n: int) -> list:
     for j in range(k):
         out.append(StepResult(
             slots=FrameSlots(
-                kp_l=kp_l[j], kp_r=kp_r[j], desc=desc[j], pts=pts[j],
+                kp_l=kp_l[j], kp_r=kp_r[j],
+                desc=desc[j] if has_desc else None, pts=pts[j],
                 valid=(flags[j] & 1).astype(bool),
             ),
             transform=transform[j],
@@ -455,6 +499,9 @@ class VisualOdometer:
         self.last_new_database = None     # device BoW DB from the fused path
         self.last_topk_ids = None         # [K, query_size] int32
         self.last_topk_scores = None      # [K, query_size] float32
+        # Device feature-bank rings (desc/valid/uv) as of the last COLLECTED
+        # batch — the loop-edge matcher's device-side source (apps/slam.py).
+        self.last_banks = None
         # Device-resident (prev slots, initialized) threaded between chain
         # dispatches; None = rebuild from the host mirrors (after single-
         # frame tracking or at start).
@@ -502,7 +549,7 @@ class VisualOdometer:
         """
         return self.collect_batch(self.dispatch_batch(imgs_l, imgs_r, bow))
 
-    def dispatch_batch(self, imgs_l, imgs_r, bow=None) -> dict:
+    def dispatch_batch(self, imgs_l, imgs_r, bow=None, banks=None) -> dict:
         """Dispatch the K-frame chain program; returns a handle for
         collect_batch. Does NOT block: the tracker state threads on DEVICE
         (final scan carry), so the next batch can be dispatched before this
@@ -532,18 +579,28 @@ class VisualOdometer:
             self.rectified,
             orb.steer_table(self.fe.oriented),
         )
-        handle = {"k": k, "bow": None}
+        handle = {"k": k, "bow": None, "banks": None}
+        if bow is not None and banks is None:
+            # Standalone track_batch(bow=...) callers (tests, multi-seq):
+            # throwaway rings sized to the database capacity.
+            n = self.fe.num_features
+            cap = bow[2].shape[0]
+            banks = (jnp.zeros((cap, n, 8), jnp.uint32),
+                     jnp.zeros((cap, n), bool),
+                     jnp.zeros((cap, n, 4), jnp.float32))
         if bow is None:
             carry, packed = frontend_chain_packed(*args)
         else:
             centroids, idf, database, db_size, query_size = bow
-            carry, packed, new_db, new_db_size = frontend_chain_packed_bow(
-                *args, centroids, idf, database,
-                db_size if isinstance(db_size, jax.Array)
-                else jnp.int32(db_size),
-                query_size,
-            )
+            carry, packed, new_db, new_db_size, new_banks = (
+                frontend_chain_packed_bow(
+                    *args, centroids, idf, database,
+                    db_size if isinstance(db_size, jax.Array)
+                    else jnp.int32(db_size),
+                    query_size, *banks,
+                ))
             handle["bow"] = (new_db, new_db_size, query_size)
+            handle["banks"] = new_banks
         self._carry_dev = carry
         handle["packed"] = packed
         return handle
@@ -552,20 +609,24 @@ class VisualOdometer:
         """Block on a dispatch_batch handle's packed readback and replay the
         host bookkeeping (map update, swap/record mirrors, loop top-k)."""
         packed_np = jax.device_get(handle["packed"])  # ONE transfer
+        has_desc = handle["bow"] is None
         if handle["bow"] is not None:
             new_db, new_db_size, q = handle["bow"]
             self.last_new_database = new_db
-            base_w = 17 * self.fe.num_features + 20
+            self.last_banks = handle["banks"]
+            base_w = 9 * self.fe.num_features + 20
             tk = np.ascontiguousarray(packed_np[:, base_w:])
             self.last_topk_ids = tk[:, :q].view(np.int32)
             self.last_topk_scores = tk[:, q:].view(np.float32)
             packed_np = packed_np[:, :base_w]
-        results = unpack_step_results(packed_np, self.fe.num_features)
+        results = unpack_step_results(packed_np, self.fe.num_features,
+                                      has_desc=has_desc)
         self.last_batch = StepResult(
             slots=FrameSlots(
                 kp_l=np.stack([r.slots.kp_l for r in results]),
                 kp_r=np.stack([r.slots.kp_r for r in results]),
-                desc=np.stack([r.slots.desc for r in results]),
+                desc=(np.stack([r.slots.desc for r in results])
+                      if has_desc else None),
                 pts=np.stack([r.slots.pts for r in results]),
                 valid=np.stack([r.slots.valid for r in results]),
             ),
@@ -626,7 +687,9 @@ class VisualOdometer:
         pts_local = np.asarray(slots.pts)
         kp_l = np.asarray(slots.kp_l)
         kp_r = np.asarray(slots.kp_r)
-        desc = np.asarray(slots.desc)
+        # None on the fused-BoW batched path: descriptors stay in the device
+        # banks (set_frame_features marks the host mirror stale).
+        desc = np.asarray(slots.desc) if slots.desc is not None else None
 
         fid = world.add_frame(trans)
         G = world.pose_global[fid]

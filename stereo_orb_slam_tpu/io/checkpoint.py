@@ -71,6 +71,10 @@ def restore_world(folder: str) -> WorldMap:
 
 def save_npz(path: str, world: WorldMap):
     """Exact binary snapshot (poses, rel poses, points, obs, feature banks)."""
+    assert not getattr(world, "frame_desc_stale", False), (
+        "host frame_desc lags the device banks - call "
+        "SlamSystem.sync_feature_banks() before checkpointing"
+    )
     np.savez_compressed(
         path,
         pose_global=world.pose_global[: world.num_frames],

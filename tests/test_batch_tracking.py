@@ -199,6 +199,10 @@ def test_vocab_trains_midflight_database_consistent(rng):
     assert len(out) == n
     w = system.world
     assert system.loop.db_size == w.num_frames
+    # Descriptors live in the device banks on the fused path; pull them
+    # down once before reading the host mirror.
+    system.sync_feature_banks()
+    assert not w.frame_desc_stale
     db = np.asarray(system.loop.database)[: system.loop.db_size]
     for f in range(w.num_frames):
         expected = np.asarray(system.vocab.bow_vector(
