@@ -88,11 +88,17 @@ def main():
     ap.add_argument("--w", type=int, default=1241)
     ap.add_argument("--refine_interval", type=int, default=10)
     ap.add_argument("--window", type=int, default=500)
-    ap.add_argument("--out", default="ENDURANCE_r03.json")
-    ap.add_argument("--db_capacity", type=int, default=1024,
-                    help="small initial BoW capacity so the run exercises "
-                         "capacity-doubling drains (default config is 8192)")
+    ap.add_argument("--out", default="ENDURANCE_r04.json")
+    ap.add_argument("--db_capacity", type=int, default=0,
+                    help="BoW database capacity. Default 0 = PRE-SIZE from "
+                         "the sequence length (pow2 >= frames, min 8192): "
+                         "the r3 run started at 1024 and paid a mid-run "
+                         "resize + pipeline drain at frame ~1024 (r4 "
+                         "directive 1a). Pass a small value explicitly to "
+                         "exercise the capacity-doubling drain path.")
     args = ap.parse_args()
+    db_capacity = args.db_capacity or max(
+        8192, 1 << (args.frames - 1).bit_length())
 
     import jax
 
@@ -133,7 +139,7 @@ def main():
 
     cfg = SlamConfig().replace(
         refine_interval=args.refine_interval, batch_frames=args.batch,
-        loop=LoopConfig(database_capacity=args.db_capacity),
+        loop=LoopConfig(database_capacity=db_capacity),
         # Reference parity for the finish-stage global solves: Ceres
         # max_solver_time is 1 s (ref src/params.h:41); at 2k keyframes a
         # full 50-iteration schedule would run tens of minutes. 60 s here
@@ -183,7 +189,7 @@ def main():
     p_trace = (np.asarray(system.loop.probabilities)
                if system.loop else np.zeros(1))
     # Loop EPISODES: upward crossings of the is_loop threshold.
-    above = p_trace > 0.9
+    above = p_trace > system.loop.cfg.is_loop_thresh
     episodes = int(np.sum(above[1:] & ~above[:-1]) + (1 if above[:1].any()
                                                       else 0))
 
@@ -209,7 +215,7 @@ def main():
         "frames": int(system.frame_index),
         "tracked_frames": int(n),
         "batch_frames": args.batch,
-        "db_capacity_initial": args.db_capacity,
+        "db_capacity_initial": db_capacity,
         "db_size_final": int(system.loop.db_size if system.loop else 0),
         "live_fps_overall": round(system.frame_index / t_live, 2),
         "fps_per_window": fps_curve,
@@ -223,6 +229,10 @@ def main():
         "loop_edges_committed_total": len(system.pgo.committed_edges),
         "pose_graph_loop_edges_final":
             system.pgo.last_stats.get("num_loop_edges"),
+        # Per-closure stall: wall seconds of each LIVE loop-exit
+        # pose-graph + (1 s wall-capped) global BA on the critical path.
+        "closure_stall_seconds": [round(t, 2)
+                                  for t in system.pgo.live_stall_log],
         "finish_seconds": round(t_finish, 2),
         "finish_error": finish_error,
         "lateral_ate_m": round(ate, 4),

@@ -228,6 +228,9 @@ class PoseGraphOptimizer:
         self.loop_edges: list = []        # pending (a, b) pairs
         self.committed_edges: list = []   # all (a, b) ever optimized (for PLY)
         self.last_stats = {}
+        # Wall seconds of each LIVE (loop-exit) optimize() call — the
+        # closure stall the endurance harness reports per episode.
+        self.live_stall_log: list = []
         # Called before any solve: the live loop registers its pending
         # (pipelined) BA finisher here so a loop-triggered optimization
         # always sees the refined map first (SlamSystem._finish_pending_ba).
@@ -236,7 +239,14 @@ class PoseGraphOptimizer:
     def add_loop_edge(self, a: int, b: int):
         self.loop_edges.append((int(a), int(b)))
 
-    def optimize(self, run_global_ba: bool = True) -> dict:
+    def optimize(self, run_global_ba: bool = True, live: bool = False) -> dict:
+        """`live=True` marks a mid-run (loop-exit) solve on the live loop's
+        critical path (ref loop_detector.cpp:146): its global BA is capped
+        at cfg.live_ba_max_seconds (Ceres max_solver_time parity, ref
+        src/params.h:41) and the whole stall is logged to live_stall_log."""
+        import time as _time
+
+        t_start = _time.perf_counter()
         if self.pre_optimize_hook is not None:
             self.pre_optimize_hook()
         world = self.world
@@ -287,11 +297,18 @@ class PoseGraphOptimizer:
         em[:E] = np.stack(meas)
         ew[:E] = weights
 
-        vmask = np.ones(n, np.float32)
-        vmask[0] = 0.0  # gauge fix (ref :61-65, frame 0 fixed at :119-121)
+        # Vertex count is bucketed (pow2, min 8): the graph grows by one
+        # frame per closure-time solve, and an exact-sized program would
+        # recompile at every loop exit over a long drive (r4 directive 1b).
+        # Padded vertices are identity poses held fixed with no edges.
+        N_pad = max(8, 1 << (n - 1).bit_length())
+        poses = np.tile(np.eye(4, dtype=np.float32), (N_pad, 1, 1))
+        poses[:n] = world.pose_global[:n]
+        vmask = np.zeros(N_pad, np.float32)
+        vmask[1:n] = 1.0  # gauge fix (ref :61-65, frame 0 fixed at :119-121)
 
         prob = PoseGraphProblem(
-            poses=jnp.asarray(world.pose_global[:n].copy()),
+            poses=jnp.asarray(poses),
             edge_a=jnp.asarray(ea),
             edge_b=jnp.asarray(eb),
             edge_meas=jnp.asarray(em),
@@ -303,7 +320,7 @@ class PoseGraphOptimizer:
         prob, c0, c_last = pg_solve(prob, self.cfg)
         cost0, cost = float(c0), float(c_last)
 
-        new_poses = np.asarray(prob.poses)
+        new_poses = np.asarray(prob.poses)[:n]
         world.set_global_poses(np.arange(n, dtype=np.int32), new_poses)
         # Tail propagation is a no-op here (all frames optimized), but kept
         # for parity with ref :89-92 when optimizing a prefix.
@@ -319,6 +336,12 @@ class PoseGraphOptimizer:
 
         # Global BA after the pose-graph solve (ref :95).
         if run_global_ba and self.ba is not None and n >= 2:
-            stats["global_ba"] = self.ba.optimize(0, n - 1)
+            stats["global_ba"] = self.ba.optimize(
+                0, n - 1,
+                max_seconds=self.cfg.live_ba_max_seconds if live else None,
+            )
+        stats["wall_seconds"] = round(_time.perf_counter() - t_start, 3)
+        if live:
+            self.live_stall_log.append(stats["wall_seconds"])
         self.last_stats = stats
         return stats

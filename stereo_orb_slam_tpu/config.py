@@ -161,6 +161,13 @@ class PoseGraphConfig:
     damping: float = 1e-6
     cg_iterations: int = 200
     cg_tol: float = 1e-8
+    # Wall cap for the global BA a LIVE (mid-run, loop-exit) pose-graph
+    # solve triggers — the reference's Ceres max_solver_time_in_seconds
+    # (1 s, ref src/params.h:41 via pose_graph_optimizer.cpp:95): a loop
+    # closure must never blank more than ~1 s of the live loop; the solve
+    # returns best-so-far. End-of-sequence solves are uncapped here (they
+    # honor BAConfig.max_solve_seconds instead).
+    live_ba_max_seconds: float = 1.0
 
 
 @dataclass(frozen=True)

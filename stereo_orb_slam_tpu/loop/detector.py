@@ -197,7 +197,9 @@ class LoopDetector:
                 self._commit_edges()
                 self.in_loop = False
                 if self.optimizer is not None:
-                    self.optimizer.optimize()
+                    # Mid-run solve on the live critical path: global BA is
+                    # wall-capped (PoseGraphConfig.live_ba_max_seconds).
+                    self.optimizer.optimize(live=True)
             self.potential_edges.clear()
 
         self.probabilities.append(self.loop_probability)
