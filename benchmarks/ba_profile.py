@@ -76,6 +76,7 @@ def make_problem(C, P, obs_per_cam, rng):
         P_l=jnp.asarray(P_l), P_r=jnp.asarray(P_r),
     )
     sto, scam, smask, K = schur_dense.group_slots(obs_point, obs_cam, P, O)
+    K = sto.shape[1]  # R-aligned slot-map width (executed shape)
     slots = (jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask))
     cam_K = 1 << (int(np.bincount(obs_cam).max()) - 1).bit_length()
     return prob, slots, K, cam_K

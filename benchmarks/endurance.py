@@ -96,6 +96,9 @@ def main():
                          "resize + pipeline drain at frame ~1024 (r4 "
                          "directive 1a). Pass a small value explicitly to "
                          "exercise the capacity-doubling drain path.")
+    ap.add_argument("--warm_frames", type=int, default=96,
+                    help="throwaway warm drive length before the timed run "
+                         "(0 disables); populates jit caches off the clock")
     args = ap.parse_args()
     db_capacity = args.db_capacity or max(
         8192, 1 << (args.frames - 1).bit_length())
@@ -149,6 +152,23 @@ def main():
     system = SlamSystem(rig, cfg, vocab=vocab)
 
     scene = TriangleSceneReader(args.frames, args.h, args.w, args.period)
+
+    if args.warm_frames > 0:
+        # Throwaway warm drive (r4 directive 1b): a scratch SlamSystem over
+        # the first frames of the same scene populates the in-process jit
+        # caches (chain program, early window-BA C/P/O buckets) and the
+        # persistent .jax_cache, so the REAL run below starts from frame 0
+        # at steady-state speed — the reference pays no compiles at all
+        # (ref src/slam.cpp:108-148), so neither should our timed run.
+        warm_sys = SlamSystem(rig, cfg, vocab=vocab)
+        warm_scene = TriangleSceneReader(args.warm_frames, args.h, args.w,
+                                         args.period)
+        for dl, dr in DeviceBatchReader(warm_scene, args.batch):
+            warm_sys.process_batch(dl, dr)
+        warm_sys.flush()
+        del warm_sys
+        compile_count[0] = 0
+
     reader = DeviceBatchReader(scene, args.batch)
 
     t_start = time.perf_counter()

@@ -85,9 +85,15 @@ def build_problem(C=200, P=20000, obs_per_cam=600, seed=0):
     return make_problem(C=C, P=P, obs_per_cam=obs_per_cam, seed=seed)
 
 
-def build_point_aligned_step(mesh, cfg, C=200, P=20000, obs_per_cam=600):
+def build_point_aligned_step(mesh, cfg, C=200, P=20000, obs_per_cam=600,
+                             dense: bool = True):
     """(sharded point-aligned LM step, placed problem) on `mesh` — the
-    production distributed scheme (parallel/dist_ba)."""
+    production distributed scheme (parallel/dist_ba). `dense=True` (the
+    default for windowed/mid-size C) uses the distributed dense Schur:
+    local S assembly + ONE [6C,6C] psum + replicated Cholesky, ~3
+    collectives per LM step instead of one per CG iteration — the fix for
+    the latency-bound 37% two-process overhead at the yardstick problem
+    (SCALING_r03 -> r4 directive 5)."""
     import numpy as np
 
     from stereo_orb_slam_tpu.parallel.dist_ba import (
@@ -106,7 +112,11 @@ def build_point_aligned_step(mesh, cfg, C=200, P=20000, obs_per_cam=600):
         np.asarray(raw.P_l), np.asarray(raw.P_r), mesh.devices.size,
     )
     prob = place_point_aligned(mesh, prob)
-    step = sharded_lm_step_point_aligned(mesh, cfg)
+    dense_K = None
+    if dense:
+        kmax = max(int(np.bincount(obs_point).max(initial=2)), 2)
+        dense_K = 1 << (kmax - 1).bit_length()
+    step = sharded_lm_step_point_aligned(mesh, cfg, dense_K=dense_K)
     return step, prob
 
 
@@ -151,12 +161,12 @@ def collective_report(n_devices: int, C=200, P=20000, obs_per_cam=600,
             record(e.group(1), e.group(2))
 
     # Analytic dynamic volume per LM step (f32 bytes, one direction) for
-    # the POINT-ALIGNED scheme — all point-side reductions are local:
-    #   build: cam_rows [C,42] + cost (x2 evaluate-once)
-    #   solve: rhs [C,6]
-    #   PCG: cg_iterations x [C,6]
+    # the POINT-ALIGNED DENSE-SCHUR scheme — all point-side reductions are
+    # local and the reduced system reduces ONCE:
+    #   build: cam_rows [C,42] + cost (x2 on lm_step: build + trial cost)
+    #   solve: rhs [C,6] + S [6C,6C]
     model_bytes = 4 * (
-        2 * (C * 42 + 1) + C * 6 + cg_iterations * (C * 6)
+        2 * (C * 42 + 1) + C * 6 + (6 * C) ** 2
     )
     return {
         "devices": n_devices,
@@ -234,7 +244,7 @@ def _free_port():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     args = ap.parse_args()

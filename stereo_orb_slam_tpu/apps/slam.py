@@ -512,7 +512,12 @@ class SlamSystem:
             lo = (min(max(0, n_before - 1), max(0, n - 2 * cfg.refine_interval))
                   if cfg.per_frame_ba else max(0, n - 2 * cfg.refine_interval))
             crossed = (n // cfg.refine_interval) > (n_before // cfg.refine_interval)
-            if cfg.per_frame_ba or crossed:
+            # K=1 (reference cadence): solving per batch would mean a BA
+            # dispatch + readback sync PER FRAME — two extra relay round
+            # trips. Solve on refine-interval crossings only; the window
+            # [lo, n) covers every frame since the last solve, so the same
+            # variables are refined (the documented batching deviation).
+            if (cfg.per_frame_ba and handle["k"] > 1) or crossed:
                 with self.timers.time("ba.window"):
                     self._pending_ba = self.ba.optimize_async(
                         lo, n, max_iterations=cfg.live_ba_iterations
@@ -631,9 +636,13 @@ def main(argv=None):
     system = SlamSystem(rig, cfg, vocab=vocab)
 
     t_start = time.perf_counter()
-    if cfg.batch_frames > 1:
+    if cfg.batch_frames >= 1 and not args.debug_viz:
         # Device-prefetching reader: decode + uint8 stack + upload happen on
-        # the reader thread, overlapping the main thread's compute.
+        # the reader thread, overlapping the main thread's compute. K=1 is
+        # the reference cadence (one pose out per frame in, latency one
+        # frame) running through the same pipelined dispatch/collect pair —
+        # the fully synchronous process() path pays >= 3 relay round trips
+        # per frame and exists for debug_viz (which needs eager results).
         breader = datasets.DeviceBatchReader(pairs, cfg.batch_frames)
         i = 0
         for dl, dr in breader:

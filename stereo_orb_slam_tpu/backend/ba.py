@@ -84,32 +84,36 @@ def _seg_sum_points(x, obs_point, num, axis_name=None, dense_slots=None):
     return jnp.sum(g, axis=1).reshape((sto.shape[0],) + x.shape[1:])[:num]
 
 
-def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_slots=None):
+def _seg_sum_cams(x, obs_cam, num, axis_name=None, cam_red=None):
     """Per-camera reduction of per-observation rows x [O, F].
 
-    Matrix-free/distributed: a segment-sum scatter (psum-compatible) —
-    XLA's TPU scatter-add serializes duplicate indices (~6.5 ms per LM
-    iteration for the camera Hessian blocks at O=131k). With `cam_slots`
-    ([C,Kc] slot map + mask from build_cam_slots_device, the dense windowed
-    path), it is a gather + local sum over the Kc slot axis — the same
-    trick _seg_sum_points uses. The r3 one-hot matmul alternative ([C,O] @
-    [O,F]) was loop-invariant on paper but XLA fused the 105 MB one-hot
-    GENERATION into each iteration's consumers: 8.07 of 12.02 ms per LM
-    iteration, 67% of the solve (BA_PROFILE_r03, ba.py:500). The slot map
-    is a materialized int32 array (C*Kc ~ 0.8 MB), so nothing re-runs
-    inside the while_loop; the per-iteration cost is two well-shaped row
-    gathers (~40 MB) at HBM bandwidth.
+    Matrix-free/distributed (`cam_red` None): a segment-sum scatter
+    (psum-compatible) — XLA's TPU scatter-add serializes duplicate indices
+    (~6.5 ms per LM iteration for the camera Hessian blocks at O=131k).
+
+    Dense windowed path: `cam_red` is either the [C,O] f32 ONE-HOT of
+    obs_cam (one MXU matmul — the r3 formulation, measured best: the
+    one-hot generation fuses into the matmul and the whole reduction rides
+    the MXU) or, past the one-hot's memory gate, a ([C,Kc] slot map, mask)
+    tuple from build_cam_slots_device (gather + local sum — slower than
+    the one-hot by ~1.2 ms/LM-iteration at the yardstick but independent
+    of C*O). NOTE r4 finding: BA_PROFILE_r03's "8.07 ms on the one-hot
+    line" was fusion misattribution — op-level tracing shows the while
+    body's point gathers and carry copies carried most of that time; the
+    one-hot matmul itself is cheap.
     """
-    if cam_slots is None:
+    if cam_red is None:
         return _seg_sum(x, obs_cam, num, axis_name)
     # Local-only reduction: the dense windowed path never runs sharded
     # (the documented dense/axis_name mutual exclusion; advisor r3).
-    assert axis_name is None, "cam_slots is a single-device reduction"
-    from stereo_orb_slam_tpu.backend.schur_dense import slot_gather
+    assert axis_name is None, "cam_red is a single-device reduction"
+    if isinstance(cam_red, tuple):
+        from stereo_orb_slam_tpu.backend.schur_dense import slot_gather
 
-    sto, mask = cam_slots
-    g = slot_gather(x, sto, mask, sorted_indices=False)  # [C,Kc,F]
-    return jnp.sum(g, axis=1)[:num]
+        sto, mask = cam_red
+        g = slot_gather(x, sto, mask, sorted_indices=False)  # [C,Kc,F]
+        return jnp.sum(g, axis=1)[:num]
+    return cam_red @ x
 
 
 def build_cam_slots_device(obs_cam, obs_weight, n_cams: int, Kc: int):
@@ -142,7 +146,7 @@ def build_cam_slots_device(obs_cam, obs_weight, n_cams: int, Kc: int):
 
 def build_normal_equations(prob: BAProblem, huber_delta: float,
                            axis_name=None, dense_slots=None,
-                           cam_slots=None, point_sharded: bool = False):
+                           cam_red=None, point_sharded: bool = False):
     """point_sharded: the POINT-ALIGNED distributed layout
     (parallel/dist_ba.shard_problem_point_aligned) — every point's whole
     observation run lives on one device, so point-side reductions are
@@ -159,7 +163,7 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     )
     # Camera-side reductions fused into one row per observation: one
     # matmul (dense path) / one scatter (matrix-free) instead of two.
-    cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_slots)
+    cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_red)
     H_cc = cam_red[:, :36].reshape(-1, 6, 6)             # [C,6,6]
     b_c = -cam_red[:, 36:]                               # [C,6]
     # Point-side reductions fused into one row per observation (a single
@@ -289,7 +293,7 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
 
 def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
-              axis_name=None, dense_slots=None, cam_slots=None,
+              axis_name=None, dense_slots=None, cam_red=None,
               point_sharded: bool = False):
     """Damp, marginalize points (Schur), solve the reduced camera system,
     back-substitute. Returns the PROPOSED (pose6, points) for this lambda.
@@ -312,7 +316,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
     hp_bp = jnp.einsum("nij,nj->ni", Hpp_inv, b_p)
     rhs = b_c - _seg_sum_cams(
         jnp.einsum("oij,oj->oi", W, hp_bp[prob.obs_point]), prob.obs_cam,
-        b_c.shape[0], axis_name, cam_slots,
+        b_c.shape[0], axis_name, cam_red,
     )
     rhs = rhs * prob.cam_mask[:, None]
 
@@ -322,10 +326,17 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
     if dense_slots is not None:
         from stereo_orb_slam_tpu.backend import schur_dense
 
+        # Distributed dense path (point-aligned shards): local assembly +
+        # ONE [6C,6C] psum + replicated Cholesky — ~3 collectives per LM
+        # step instead of one per CG iteration (see assemble_schur).
+        assert axis_name is None or point_sharded, (
+            "dense_slots under shard_map requires the point-aligned layout"
+        )
         S = schur_dense.assemble_schur(
             H_cc_safe, W, Hpp_inv, dense_slots[0], dense_slots[1],
             dense_slots[2], prob.cam_mask,
             dtype=jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32,
+            axis_name=axis_name,
         )
         dc = schur_dense.solve_reduced_chol(S, rhs, prob.cam_mask)
     else:
@@ -358,7 +369,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
 
 
 def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
-                 dense_slots=None, cam_slots=None,
+                 dense_slots=None, cam_red=None,
                  point_sharded: bool = False):
     """One LM iteration: build, solve (Schur+PCG), evaluate, accept/reject.
 
@@ -371,12 +382,12 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
     backend/schur_dense.py). Mutually exclusive with `axis_name`.
     """
     H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots, cam_slots,
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_red,
         point_sharded,
     )
     pose6_new, points_new = _solve_lm(
         prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots,
-        cam_slots, point_sharded,
+        cam_red, point_sharded,
     )
 
     cost1 = res_mod.robust_cost(
@@ -418,10 +429,10 @@ class LMCarry(NamedTuple):
 
 
 def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
-                 axis_name=None, cam_slots=None,
+                 axis_name=None, cam_red=None,
                  point_sharded: bool = False):
     H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
-        prob, cfg.huber_delta, axis_name, dense_slots, cam_slots,
+        prob, cfg.huber_delta, axis_name, dense_slots, cam_red,
         point_sharded,
     )
     return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
@@ -429,7 +440,7 @@ def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
 
 
 def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
-                      axis_name=None, cam_slots=None,
+                      axis_name=None, cam_red=None,
                       point_sharded: bool = False):
     """One evaluate-once LM iteration (single-device fast path).
 
@@ -443,11 +454,11 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     prob = carry.prob
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
-        carry.lam, cfg, axis_name, dense_slots, cam_slots, point_sharded,
+        carry.lam, cfg, axis_name, dense_slots, cam_red, point_sharded,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
     H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
-        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_slots,
+        prob_try, cfg.huber_delta, axis_name, dense_slots, cam_red,
         point_sharded,
     )
 
@@ -523,21 +534,32 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
     `dense_slots` may be passed explicitly (precomputed host maps), or
     derived on device when `dense_K` (static) is given — the live-loop path,
     which avoids uploading ~P*K*12 bytes of slot maps per solve. `cam_K`
-    (static, pow2 >= max observations per camera) likewise enables the
-    camera-run slot maps — without it the camera reductions fall back to
-    the (slow but always-correct) scatter.
+    (static, pow2 >= max observations per camera) enables the camera-run
+    slot-map FALLBACK for problems past the one-hot's C*O memory gate;
+    without either, camera reductions use the (slow but always-correct)
+    scatter.
     """
     if dense_slots is None and dense_K is not None:
         dense_slots = build_slots_device(
             prob.obs_point, prob.obs_cam, prob.obs_weight,
             prob.points.shape[0], dense_K,
         )
-    cam_slots = None
-    if dense_slots is not None and cam_K is not None:
-        cam_slots = build_cam_slots_device(
-            prob.obs_cam, prob.obs_weight, prob.pose6.shape[0], cam_K,
-        )
-    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_slots,
+    cam_red = None
+    C = prob.pose6.shape[0]
+    O = prob.obs_cam.shape[0]
+    if dense_slots is not None and axis_name is None:
+        if C * O <= (1 << 26):
+            # Primary: [C,O] one-hot MXU matmul (generation fuses into the
+            # matmul; measured best — see _seg_sum_cams). Size-gated to
+            # 256 MB live across the while_loop.
+            cam_red = (prob.obs_cam[None, :]
+                       == jnp.arange(C, dtype=prob.obs_cam.dtype)[:, None]
+                       ).astype(jnp.float32)
+        elif cam_K is not None:
+            cam_red = build_cam_slots_device(
+                prob.obs_cam, prob.obs_weight, C, cam_K,
+            )
+    carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_red,
                           point_sharded)
     cost_init = carry0.cost
 
@@ -550,7 +572,7 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
         new_carry, accepted, c0, c1 = lm_iteration_impl(carry, cfg,
                                                         dense_slots,
                                                         axis_name,
-                                                        cam_slots,
+                                                        cam_red,
                                                         point_sharded)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
@@ -767,10 +789,12 @@ class BundleAdjuster:
         dense_K = None
         cam_K = None
         if C_pad <= cfg.dense_schur_max_cams:
+            from stereo_orb_slam_tpu.backend.schur_dense import slot_width
+
             kmax = int(np.bincount(obs_point[:n_obs],
                                    minlength=1).max(initial=2))
             K = 1 << (max(kmax, 2) - 1).bit_length()
-            if P_pad * K <= cfg.dense_schur_max_slots:
+            if P_pad * slot_width(K) <= cfg.dense_schur_max_slots:
                 dense_K = K
                 # Camera-run slot bucket (per-camera twin of K). Gated so a
                 # pathological skew (one camera owning most observations)

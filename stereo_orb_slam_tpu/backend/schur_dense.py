@@ -39,6 +39,17 @@ import numpy as np
 from jax import lax
 
 
+SUPER_ROWS = 8  # retained for compatibility; maps are plain run maps
+
+
+def slot_width(K: int, R: int = SUPER_ROWS) -> int:
+    """Slot-map width for a raw max-obs-per-point bucket K. The r4
+    super-row experiment widened maps to R-aligned windows; that layout
+    REGRESSED on hardware (see slot_gather docstring), so the width is
+    simply K again."""
+    return K
+
+
 def group_slots(obs_point, obs_cam, n_points_pad: int, n_obs: int):
     """Host-side slot maps for dense-Schur assembly.
 
@@ -59,7 +70,8 @@ def group_slots(obs_point, obs_cam, n_points_pad: int, n_obs: int):
     k = np.arange(K)
     # Clamp within each run (keeps the raster order monotonic; padding slots
     # re-read the run's last row and are zeroed by slot_mask).
-    sto = starts[:, None] + np.minimum(k[None, :], np.maximum(counts - 1, 0)[:, None])
+    sto = starts[:, None] + np.minimum(k[None, :],
+                                       np.maximum(counts - 1, 0)[:, None])
     sto = np.minimum(sto, max(n_obs - 1, 0)).astype(np.int32)
     mask = (k[None, :] < counts[:, None]).astype(np.float32)
     scam = np.where(mask > 0, obs_cam[sto] if n_obs else 0, 0).astype(np.int32)
@@ -69,47 +81,29 @@ def group_slots(obs_point, obs_cam, n_points_pad: int, n_obs: int):
 def slot_gather(x, slot_to_obs, slot_mask, sorted_indices: bool = True):
     """x [O, F] -> [P, K, F] via the slot map.
 
-    `sorted_indices=True` is the point-grouped map contract: each point's
-    slots are a contiguous run starting at slot_to_obs[:, 0], so the whole
-    [P, K, F] block is fetched with ONE (K, F) contiguous-slice gather per
-    point instead of K separate F-row gathers. This matters enormously on
-    TPU: an F=18 f32 row is 72 bytes inside a 512-byte (8,128) tile, so
-    per-row gathers move ~7x the useful bytes — the three point-side
-    gathers measured 3.5 ms/LM-iteration (~40 GB/s effective) as row
-    gathers (r4 op-level trace) vs ~bandwidth as run slices. Slice rows
-    past a point's run (k >= count) land in the next run (or the zero tail
-    pad) and are zeroed by slot_mask, matching the old clamped row map.
+    `sorted_indices=True` is the point-grouped map contract (monotonic in
+    raster order — single-sweep gather); the camera-run maps built on
+    device by ba.build_cam_slots_device jump between runs of the
+    point-sorted obs array, so they pass False.
 
-    The camera-run maps built on device by ba.build_cam_slots_device jump
-    between runs of the point-sorted obs array (no contiguity), so they
-    pass sorted_indices=False and keep the row-gather path."""
+    MEASURED DEAD ENDS on v5e (r4 op-level traces) — do not retry blindly:
+    (1) one contiguous (K, F) slice gather per point lowers to SERIAL
+    dynamic-slices (13.3 -> 31 ms/LM-iteration); (2) R=8 super-row maps
+    ([O/R, R*F] reshape + wider masked windows) push the cost into a
+    layout-change reshape copy, an operand pad, and a [P,K2,F] mask
+    broadcast (also ~31 ms/iter). The plain row gather keeps the whole
+    iteration at ~13 ms with no single dominant op."""
     P, K = slot_to_obs.shape
     F = x.shape[-1]
-    if sorted_indices:
-        starts = slot_to_obs[:, 0]
-        # K-row zero tail: a run starting near O-1 may slice past the end;
-        # padding the operand keeps every slice in bounds without index
-        # clamping (a clamped start would SHIFT the window off the mask).
-        xp = jnp.concatenate([x, jnp.zeros((K, F), x.dtype)], axis=0)
-        out = lax.gather(
-            xp, starts[:, None],
-            lax.GatherDimensionNumbers(
-                offset_dims=(1, 2), collapsed_slice_dims=(),
-                start_index_map=(0,),
-            ),
-            slice_sizes=(K, F), indices_are_sorted=True,
-            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
-    else:
-        out = lax.gather(
-            x, slot_to_obs[..., None],
-            lax.GatherDimensionNumbers(
-                offset_dims=(2,), collapsed_slice_dims=(0,),
-                start_index_map=(0,),
-            ),
-            slice_sizes=(1, F), indices_are_sorted=False,
-            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
+    out = lax.gather(
+        x, slot_to_obs[..., None],
+        lax.GatherDimensionNumbers(
+            offset_dims=(2,), collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, F), indices_are_sorted=sorted_indices,
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
     return out * slot_mask[..., None]
 
 
@@ -123,7 +117,7 @@ def _chunk_size(P: int, K: int, C: int) -> int:
 
 
 def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
-                   cam_mask, dtype=jnp.float32):
+                   cam_mask, dtype=jnp.float32, axis_name=None):
     """Materialize the reduced camera system S = H_cc_safe - W H_pp^-1 W^T
     as [6C, 6C] in IC ORDER: flat index q = i * C + c (parameter i of
     camera c), NOT the (c, i) order of the matrix-free path.
@@ -142,6 +136,15 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
     matching BAConfig.dense_assemble_bf16=False) converges to machine
     zero; bfloat16 assembles ~equal speed after the layout fix but stalls
     deep convergence, so it is opt-in only.
+
+    `axis_name`: the DISTRIBUTED dense path (point-aligned sharding,
+    parallel/dist_ba): every device assembles the S contribution of its
+    local point shard, then ONE [6C,6C] psum reduces the full system and
+    the (small) Cholesky solve runs replicated. This replaces the
+    matrix-free PCG's one-psum-per-CG-iteration pattern (~25+ latency-
+    bound collectives per LM step — the 37%% two-process overhead at the
+    yardstick problem, SCALING_r03) with ~3 collectives per step. H_cc_safe
+    must already be globally reduced (build_normal_equations psums it).
 
     W: [O,6,3] flat per-observation coupling blocks (J_c^T J_p);
     Hpp_inv: [P,3,3]; slot maps from `group_slots`. Fixed cameras get
@@ -185,6 +188,8 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
     )
     S_sub, _ = jax.lax.scan(body, jnp.zeros((6 * C, 6 * C), jnp.float32),
                             chunks)
+    if axis_name is not None:
+        S_sub = lax.psum(S_sub, axis_name)
     idx = jnp.arange(C)
     # Diagonal camera blocks: S[(i1,c),(i2,c)] += H_cc[c,i1,i2].
     S = (-S_sub.reshape(6, C, 6, C)).at[:, idx, :, idx].add(H_cc_safe)

@@ -134,8 +134,19 @@ class DistributedBundleAdjuster:
         if scheme == "obs":
             self._solve = sharded_ba_solve(mesh, self.cfg)
         else:
-            self._solve = sharded_ba_solve_point_aligned(mesh, self.cfg)
+            # Built lazily per dense_K bucket (the distributed dense-Schur
+            # fast path for windowed/mid-size C; see
+            # sharded_ba_solve_point_aligned) and cached so repeat solves
+            # reuse the jitted wrapper.
+            self._pa_solves = {}
+            self._solve = None
         self.last_stats = {}
+
+    def _pa_solve(self, dense_K):
+        if dense_K not in self._pa_solves:
+            self._pa_solves[dense_K] = sharded_ba_solve_point_aligned(
+                self.mesh, self.cfg, dense_K=dense_K)
+        return self._pa_solves[dense_K]
 
     def optimize(self, start_frame: int, end_frame: int,
                  max_iterations: Optional[int] = None) -> dict:
@@ -243,7 +254,19 @@ class DistributedBundleAdjuster:
         prob = place_point_aligned(self.mesh, prob)
         cfg = self.cfg
         iters = max_iterations or cfg.max_iterations
-        carry, n_iters, cost_init = self._solve(prob, jnp.int32(iters))
+        # Dense-Schur bucket when the camera system is small enough for the
+        # [6C,6C] one-psum reduction (same gate as the single-device dense
+        # path); larger problems stay matrix-free (dense_K None).
+        dense_K = None
+        if C <= cfg.dense_schur_max_cams:
+            from stereo_orb_slam_tpu.backend.schur_dense import slot_width
+
+            kmax = max(int(np.bincount(obs_point).max(initial=2)), 2)
+            K = 1 << (kmax - 1).bit_length()
+            if meta["P_s"] * slot_width(K) <= cfg.dense_schur_max_slots:
+                dense_K = K
+        carry, n_iters, cost_init = self._pa_solve(dense_K)(
+            prob, jnp.int32(iters))
 
         from stereo_orb_slam_tpu.geometry import se3_np
 
@@ -376,9 +399,20 @@ def place_point_aligned(mesh: Mesh, prob: BAProblem,
 
 
 def sharded_ba_solve_point_aligned(mesh: Mesh, cfg: BAConfig,
-                                   axis_name: str = OBS_AXIS):
+                                   axis_name: str = OBS_AXIS,
+                                   dense_K=None):
     """Full LM solve over a point-aligned problem: point state sharded,
-    camera state replicated, collectives O(C) per step."""
+    camera state replicated, collectives O(C) per step.
+
+    `dense_K` (static, pow2 >= max observations per point on any shard)
+    switches the reduced-camera solve to the DISTRIBUTED DENSE SCHUR:
+    every device assembles its local point shard's S contribution, one
+    [6C,6C] psum, replicated Cholesky — ~3 latency-bound collectives per
+    LM step instead of one per CG iteration. This is what lifts 2-process
+    compute-time efficiency at windowed/mid-size problems (C <= ~512),
+    where per-collective latency, not bytes, dominates (SCALING_r03 showed
+    0.63 at the yardstick with ~29 psums/step). Larger C stays matrix-free
+    (dense_K=None)."""
     rep = P()
     sh = P(axis_name)
     prob_specs = _pa_prob_specs(axis_name)
@@ -389,7 +423,7 @@ def sharded_ba_solve_point_aligned(mesh: Mesh, cfg: BAConfig,
 
     def solve(prob, max_iters):
         return ba_solve_impl(prob, max_iters, cfg, axis_name=axis_name,
-                             point_sharded=True)
+                             point_sharded=True, dense_K=dense_K)
 
     sharded = shard_map(
         solve,
@@ -402,14 +436,22 @@ def sharded_ba_solve_point_aligned(mesh: Mesh, cfg: BAConfig,
 
 
 def sharded_lm_step_point_aligned(mesh: Mesh, cfg: BAConfig,
-                                  axis_name: str = OBS_AXIS):
-    """One LM step over a point-aligned problem (scaling harnesses)."""
+                                  axis_name: str = OBS_AXIS,
+                                  dense_K=None):
+    """One LM step over a point-aligned problem (scaling harnesses).
+    `dense_K`: see sharded_ba_solve_point_aligned."""
+    from stereo_orb_slam_tpu.backend.ba import build_slots_device
+
     rep = P()
     prob_specs = _pa_prob_specs(axis_name)
 
     def step(prob, lam):
+        ds = (build_slots_device(prob.obs_point, prob.obs_cam,
+                                 prob.obs_weight, prob.points.shape[0],
+                                 dense_K)
+              if dense_K is not None else None)
         return lm_step_impl(prob, lam, cfg, axis_name=axis_name,
-                            point_sharded=True)
+                            point_sharded=True, dense_slots=ds)
 
     sharded = shard_map(
         step,

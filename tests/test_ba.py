@@ -191,7 +191,8 @@ def test_group_slots_roundtrip(rng):
     n_pts, n_obs = 37, 200
     obs_point = np.sort(rng.integers(0, n_pts, n_obs).astype(np.int32))
     obs_cam = rng.integers(0, 9, n_obs).astype(np.int32)
-    sto, scam, mask, K = schur_dense.group_slots(obs_point, obs_cam, 64, n_obs)
+    sto, scam, mask, K = schur_dense.group_slots(obs_point, obs_cam, 64,
+                                                 n_obs)
     assert mask.sum() == n_obs
     # Valid slots enumerate each point's observations exactly once, with the
     # camera id mirrored; the flattened valid map is monotonic.

@@ -81,5 +81,11 @@ def test_point_aligned_collectives_are_camera_sized_only():
     census = rep["all_reduce_shape_census_static"]
     assert census, "expected at least one all-reduce in the distributed step"
     for key in census:
-        # every reduced tensor's leading dim is C (or scalar)
-        assert key.startswith("f32[40,") or key == "f32[]", census
+        # Every reduced tensor is camera-sized: [C, *] rows, the [6C,6C]
+        # dense reduced system (ONE psum per LM step — the r4 replacement
+        # for a [C,6] psum per CG iteration), or a scalar.
+        assert (key.startswith("f32[40,") or key == "f32[240, 240]"
+                or key == "f32[]"), census
+    # Collective COUNT is the scaling lever at windowed sizes: the dense
+    # distributed Schur runs ~5 latency-bound reductions per LM step.
+    assert sum(census.values()) <= 6, census
