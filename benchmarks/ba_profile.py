@@ -137,6 +137,16 @@ def main():
         r"[^}]*?source_line=(\d+)", hlo,
     ):
         srcmap[m.group(1)] = (m.group(2).split("/")[-1], int(m.group(3)))
+    # op_name paths ("jit(...)/while/body/gather", einsum equations, ...):
+    # fusions INSIDE the while body all inherit the while call-site source
+    # line, which made the r3 per-line table attribute 67% of the iteration
+    # to "one line" (a misreading the r4 op-level traces corrected) — the
+    # op path keeps the semantic operation visible.
+    opmap = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+) = .*?metadata=\{[^}]*?op_name=\"([^\"]+)\"", hlo,
+    ):
+        opmap[m.group(1)] = m.group(2).split("jit(ba_solve_impl)/")[-1]
 
     jax.profiler.start_trace(args.trace_dir)
     carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
@@ -154,6 +164,7 @@ def main():
             pids[e["pid"]] = e["args"].get("name", "")
     by_line = collections.Counter()
     by_file = collections.Counter()
+    by_op = collections.Counter()
     total = 0.0
     for e in ev:
         if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
@@ -163,9 +174,11 @@ def main():
             continue  # container events double-count their children
         d = e.get("dur", 0)
         total += d
-        src = srcmap.get(nm.lstrip("%"))
+        key = nm.lstrip("%")
+        src = srcmap.get(key)
         by_line[src or ("<unattributed>", 0)] += d
         by_file[(src or ("<unattributed>", 0))[0]] += d
+        by_op[opmap.get(key, nm.split(".")[0])] += d
 
     # ---- FLOP model --------------------------------------------------------
     P_pad = int(slots[0].shape[0])
@@ -188,6 +201,10 @@ def main():
         "top_lines_ms_per_iter": {
             f"{f}:{l}": round(v / 1e3 / chain, 3)
             for (f, l), v in by_line.most_common(12)
+        },
+        "top_ops_ms_per_iter": {
+            k: round(v / 1e3 / chain, 3)
+            for k, v in by_op.most_common(16)
         },
         "flops_per_iter_G": round(flops_iter / 1e9, 1),
         "achieved_tflops": round(flops_iter * it_s / 1e12, 2),
