@@ -364,7 +364,7 @@ def main():
     bench_e2e_slam(batch=8, warm_batches=1, timed_batches=11)
     sweep = {}
     best = None
-    for b in (8, 16, 24, 32):
+    for b in (2, 4, 8, 16, 24, 32):
         fps, info = bench_e2e_slam(batch=b, warm_batches=2,
                                    timed_batches=max(3, 96 // b))
         sweep[str(b)] = round(fps, 2)
@@ -380,6 +380,17 @@ def main():
                                        timed_batches=96)
     e2e_info["e2e_seq_fps"] = round(seq_fps, 2)
     e2e_info["e2e_seq_ms_per_frame"] = seq_info["ms_per_frame"]
+    e2e_info["e2e_seq_stage_ms"] = seq_info["stage_ms_per_frame"]
+    # Latency-1 mode's floor on THIS transport: every frame needs one
+    # packed readback, and the remote-attached relay charges a full round
+    # trip per device interaction (BA_PROFILE rtt_ms ~23 ms) — a locally
+    # attached chip has no such floor.
+    e2e_info["e2e_seq_note"] = (
+        "latency-1 mode is TRANSPORT-bound here: one dispatch (~5-10 ms "
+        "ack) + one packed readback (~23 ms relay round trip) per frame "
+        "gives a measured ~26 fps ceiling even with images pre-staged on "
+        "device; the batch sweep shows the latency/throughput frontier "
+        "(latency K frames). A locally attached chip has no such floor.")
 
     measured = load_measured_baseline()
     if measured:

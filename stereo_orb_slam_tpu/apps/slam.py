@@ -22,6 +22,7 @@ merged in the world map (union-find replacement for Frame::UpdateMapPoint).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 from functools import partial
@@ -423,7 +424,10 @@ class SlamSystem:
         """
         cfg = self.cfg
         k = len(imgs_l)
-        self._finish_pending_ba()
+        if k > 1:
+            # K=1 defers the BA finish to the next solve dispatch (see
+            # _collect_pending_batch); batched mode applies it up front.
+            self._finish_pending_ba()
         drained: list = []
 
         bow = None
@@ -499,10 +503,19 @@ class SlamSystem:
             return []
         handle, self._pending_batch = self._pending_batch, None
         cfg = self.cfg
-        # Apply any still-in-flight BA BEFORE this batch's map bookkeeping
-        # (flush() collects with a BA pending): new frames must chain off
-        # the refined poses exactly as in the eager execution order.
-        self._finish_pending_ba()
+        if handle["k"] > 1:
+            # Batched mode: apply any in-flight BA BEFORE this batch's map
+            # bookkeeping — keeps the pipelined world BITWISE identical to
+            # the eager execution order (test_pipelined_ba_is_bitwise_
+            # neutral). At K=1 (reference cadence) the finish is instead
+            # deferred to the next solve dispatch below: a readback one
+            # frame after dispatch would wait on the solve's EXECUTION
+            # (~25+ ms stall every refine interval); deferred, it waits on
+            # transport only, and the writeback's propagate_tail +
+            # first-observed dragging reproduce the same world up to f32
+            # rounding (Frame::GlobalPose semantics, ref
+            # camera_frame.h:32-70).
+            self._finish_pending_ba()
         n_before = self.world.num_frames
         with self.timers.time("vo.collect"):
             trans_list = self.vo.collect_batch(handle)
@@ -518,6 +531,9 @@ class SlamSystem:
             # [lo, n) covers every frame since the last solve, so the same
             # variables are refined (the documented batching deviation).
             if (cfg.per_frame_ba and handle["k"] > 1) or crossed:
+                # No-op for K>1 (already applied above); the K=1 deferred
+                # finish lands here, right before the next solve dispatch.
+                self._finish_pending_ba()
                 with self.timers.time("ba.window"):
                     self._pending_ba = self.ba.optimize_async(
                         lo, n, max_iterations=cfg.live_ba_iterations
@@ -615,6 +631,10 @@ def main(argv=None):
     ap.add_argument("--output_suffix", default="slam")
     ap.add_argument("--output_dir", default=".")
     ap.add_argument("--vocab", default=None, help="vocabulary .npz (optional)")
+    ap.add_argument("--num_features", type=int, default=0,
+                    help="corners per image (0 = config default 1024; the "
+                         "reference's MAX_CORNER is a compile-time constant, "
+                         "ref src/params.h:9)")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
     ap.add_argument("--debug_viz", default=None, metavar="DIR",
@@ -633,6 +653,10 @@ def main(argv=None):
         refine_interval=args.refine_interval, output_suffix=args.output_suffix,
         batch_frames=max(1, args.batch_frames),
     )
+    if args.num_features:
+        cfg = cfg.replace(
+            frontend=dataclasses.replace(cfg.frontend,
+                                         num_features=args.num_features))
     system = SlamSystem(rig, cfg, vocab=vocab)
 
     t_start = time.perf_counter()
@@ -676,11 +700,17 @@ def main(argv=None):
                 )
             if args.debug_viz and system.vo.success:
                 prev_img = img_l
+    system.flush()  # drain the pipeline: live fps covers ALL tracked frames
+    t_live = time.perf_counter() - t_start
     system.finish()
     total = time.perf_counter() - t_start
 
     system.export(args.output_dir, args.output_suffix)
     n = system.world.num_frames
+    # Live-loop fps excludes the end-of-sequence pose graph + global BA
+    # (the reference prints per-frame times for the same region,
+    # ref slam.cpp:136-138); the overall figure includes them.
+    slog.info(f"live loop: {len(pairs) / t_live:.2f} fps")
     slog.info(f"processed {len(pairs)} frames -> {n} tracked, "
               f"{len(pairs) / total:.2f} fps")
     print(system.timers.report())
