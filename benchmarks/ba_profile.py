@@ -144,9 +144,12 @@ def main():
     # op path keeps the semantic operation visible.
     opmap = {}
     for m in re.finditer(
-        r"%?([\w.\-]+) = .*?metadata=\{[^}]*?op_name=\"([^\"]+)\"", hlo,
+        r"%?([\w.\-]+) = ([\w\[\],{}: ]+?) [\w\-]+\(.*?metadata=\{[^}]*?"
+        r"op_name=\"([^\"]+)\"", hlo,
     ):
-        opmap[m.group(1)] = m.group(2).split("jit(ba_solve_impl)/")[-1]
+        shape = m.group(2).split("{")[0].strip()
+        path = m.group(3).split("jit(ba_solve_impl)/")[-1]
+        opmap[m.group(1)] = f"{path} {shape}"
 
     jax.profiler.start_trace(args.trace_dir)
     carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)

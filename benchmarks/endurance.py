@@ -166,6 +166,9 @@ def main():
         for dl, dr in DeviceBatchReader(warm_scene, args.batch):
             warm_sys.process_batch(dl, dr)
         warm_sys.flush()
+        # Closure-path programs (pose-graph buckets, loop-edge E ladder)
+        # compile here instead of inside the first mid-run stall.
+        warm_sys.prewarm_closure_path(args.frames)
         del warm_sys
         compile_count[0] = 0
 
@@ -253,6 +256,7 @@ def main():
         # pose-graph + (1 s wall-capped) global BA on the critical path.
         "closure_stall_seconds": [round(t, 2)
                                   for t in system.pgo.live_stall_log],
+        "closure_stall_splits": system.pgo.live_stall_splits,
         "finish_seconds": round(t_finish, 2),
         "finish_error": finish_error,
         "lateral_ate_m": round(ate, 4),

@@ -332,6 +332,67 @@ class SlamSystem:
             )
 
     # ----------------------------------------------------------------- frames
+    def prewarm_closure_path(self, max_frames: int,
+                             edge_ladder=(256, 512)):
+        """Compile (or pull from the persistent cache) every program the
+        LOOP-CLOSURE path can need over a drive of up to `max_frames`
+        frames — pose-graph solves at the pow2 vertex/edge buckets and the
+        batched loop-edge measurement at the E_pad ladder — OFF the live
+        loop's critical path. Without this, the first mid-run closure pays
+        those compiles synchronously inside the stall (r4 endurance pass 2:
+        18 s warm-cache stall, mostly program load). The reference has no
+        equivalent cost to hide (g2o/DBoW2 are precompiled C++)."""
+        import jax
+
+        cfg = self.cfg
+        outs = []
+        # Pose-graph buckets (backend.pose_graph pads vertices to pow2 and
+        # edges to pow2 >= n-1 + loop edges -> warm N and 2N edge widths).
+        from stereo_orb_slam_tpu.backend.pose_graph import (
+            PoseGraphProblem, pg_solve,
+        )
+
+        eye = jnp.eye(4, dtype=jnp.float32)
+        # The expensive buckets are the LARGE ones (a mid-run closure deep
+        # into the drive); early small-bucket compiles are cheap enough to
+        # absorb live. Warm the top two vertex buckets x two edge widths.
+        N_top = max(8, 1 << (max(max_frames, 2) - 1).bit_length())
+        for N in {max(8, N_top // 2), N_top}:
+            for E_pad in (N, 2 * N):
+                prob = PoseGraphProblem(
+                    poses=jnp.tile(eye[None], (N, 1, 1)),
+                    edge_a=jnp.zeros(E_pad, jnp.int32),
+                    edge_b=jnp.zeros(E_pad, jnp.int32),
+                    edge_meas=jnp.tile(eye[None], (E_pad, 1, 1)),
+                    edge_weight=jnp.zeros(E_pad, jnp.float32),
+                    vertex_mask=jnp.zeros(N, jnp.float32),
+                )
+                outs.append(pg_solve(prob, cfg.pose_graph)[0].poses)
+        # Loop-edge measurement buckets (device-bank path). Throwaway zero
+        # rings if tracking has not created the real ones yet — only the
+        # SHAPES key the jit cache.
+        n = cfg.frontend.num_features
+        banks = self._bank_dev
+        if banks is None:
+            cap = (self.loop.database.shape[0] if self.loop is not None
+                   else cfg.loop.database_capacity)
+            banks = (jnp.zeros((cap, n, 8), jnp.uint32),
+                     jnp.zeros((cap, n), bool),
+                     jnp.zeros((cap, n, 4), jnp.float32))
+        rect = (self.rig.rectified if isinstance(self.rig.rectified, bool)
+                else bool(np.asarray(self.rig.rectified)))
+        base_key = jax.random.key(0)
+        for E in edge_ladder:
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(base_key, i))(jnp.arange(E))
+            outs.append(_loop_edges_from_banks(
+                banks[0], banks[1], banks[2],
+                jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32),
+                jnp.zeros(E, bool), keys, self.rig,
+                cfg.frontend, cfg.ransac, rect,
+            ))
+        jax.block_until_ready(outs)
+
     def sync_feature_banks(self):
         """Fetch the device descriptor rings back into world.frame_desc
         (ONE bulk transfer). Needed before anything reads host descriptors

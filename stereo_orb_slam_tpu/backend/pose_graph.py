@@ -229,8 +229,10 @@ class PoseGraphOptimizer:
         self.committed_edges: list = []   # all (a, b) ever optimized (for PLY)
         self.last_stats = {}
         # Wall seconds of each LIVE (loop-exit) optimize() call — the
-        # closure stall the endurance harness reports per episode.
+        # closure stall the endurance harness reports per episode — plus
+        # the per-phase split (edge measure / solve / global BA).
         self.live_stall_log: list = []
+        self.live_stall_splits: list = []
         # Called before any solve: the live loop registers its pending
         # (pipelined) BA finisher here so a loop-triggered optimization
         # always sees the refined map first (SlamSystem._finish_pending_ba).
@@ -269,6 +271,7 @@ class PoseGraphOptimizer:
         # apps/slam.make_loop_matcher) — O(1) device interactions in edge
         # count instead of the reference's per-edge MatchPoints calls.
         n_loop = 0
+        t_match = _time.perf_counter()
         if self.loop_matcher is not None and self.loop_edges:
             if hasattr(self.loop_matcher, "batch"):
                 measured = self.loop_matcher.batch(self.loop_edges)
@@ -316,11 +319,15 @@ class PoseGraphOptimizer:
             vertex_mask=jnp.asarray(vmask),
         )
 
+        t_match = _time.perf_counter() - t_match
+
         # All GN iterations in one dispatch (see pg_solve_impl).
+        t_solve = _time.perf_counter()
         prob, c0, c_last = pg_solve(prob, self.cfg)
         cost0, cost = float(c0), float(c_last)
 
         new_poses = np.asarray(prob.poses)[:n]
+        t_solve = _time.perf_counter() - t_solve
         world.set_global_poses(np.arange(n, dtype=np.int32), new_poses)
         # Tail propagation is a no-op here (all frames optimized), but kept
         # for parity with ref :89-92 when optimizing a prefix.
@@ -335,13 +342,22 @@ class PoseGraphOptimizer:
         }
 
         # Global BA after the pose-graph solve (ref :95).
+        t_ba = _time.perf_counter()
         if run_global_ba and self.ba is not None and n >= 2:
             stats["global_ba"] = self.ba.optimize(
                 0, n - 1,
                 max_seconds=self.cfg.live_ba_max_seconds if live else None,
             )
+        # Phase split of the stall (closure attribution, r4 directive 7):
+        # edge measurement / GN solve+writeback / global BA.
+        stats["wall_split_seconds"] = {
+            "edge_measure": round(t_match, 2),
+            "pg_solve_writeback": round(t_solve, 2),
+            "global_ba": round(_time.perf_counter() - t_ba, 2),
+        }
         stats["wall_seconds"] = round(_time.perf_counter() - t_start, 3)
         if live:
             self.live_stall_log.append(stats["wall_seconds"])
+            self.live_stall_splits.append(stats["wall_split_seconds"])
         self.last_stats = stats
         return stats

@@ -240,10 +240,11 @@ class WorldMap:
         if sigma is not None:
             self.obs_sigma[sl] = sigma
         self.num_obs += n
-        counts = np.bincount(
-            np.asarray(point_ids, np.int64), minlength=self.num_points
-        ).astype(np.int32)
-        self.point_obs_count[: self.num_points] += counts[: self.num_points]
+        # O(n) duplicate-safe bump (a bincount over num_points was O(map
+        # size) PER FRAME — real milliseconds once the map holds 50k+
+        # landmarks on a long drive).
+        ids = np.asarray(point_ids, np.int64)
+        np.add.at(self.point_obs_count, ids[ids < self.num_points], 1)
 
     # ------------------------------------------------------------- pose edits
     def set_global_poses(self, frame_ids: np.ndarray, new_poses: np.ndarray):
