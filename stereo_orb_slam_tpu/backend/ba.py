@@ -592,7 +592,7 @@ ba_solve = jax.jit(ba_solve_impl,
 
 def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
                    dense_slots=None, axis_name=None,
-                   point_sharded: bool = False):
+                   point_sharded: bool = False, cam_red=None):
     """Continue an LM solve from an existing carry for up to `max_iters`
     more evaluate-once iterations (same loop as ba_solve_impl).
 
@@ -612,7 +612,7 @@ def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
     def body(state):
         c, it, _ = state
         new_c, accepted, c0, c1 = lm_iteration_impl(c, cfg, dense_slots,
-                                                    axis_name, None,
+                                                    axis_name, cam_red,
                                                     point_sharded)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
@@ -627,6 +627,13 @@ def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
 
 ba_resume = jax.jit(ba_resume_impl,
                     static_argnames=("cfg", "axis_name", "point_sharded"))
+
+# Device-side slot-map builders as standalone jits (the CHUNKED solve path
+# derives the maps once and threads them through every ba_resume dispatch).
+_build_slots_jit = jax.jit(build_slots_device,
+                           static_argnames=("n_points_pad", "K"))
+_build_cam_slots_jit = jax.jit(build_cam_slots_device,
+                               static_argnames=("n_cams", "Kc"))
 
 
 def _pad_to(n: int, mult: int = 256) -> int:
@@ -842,16 +849,31 @@ class BundleAdjuster:
         # Per-call wall cap override (live loop-closure solves pass the
         # reference's 1 s Ceres budget, ref src/params.h:41); falls back to
         # the config default. A cap forces the chunked path even for
-        # mid-size matrix-free problems — a single dispatch cannot be
-        # interrupted, so enforceability requires host sync points.
+        # mid-size problems — a single dispatch cannot be interrupted, so
+        # enforceability requires host sync points.
         cap_seconds = (max_seconds if max_seconds is not None
                        else cfg.max_solve_seconds)
-        if dense_K is None and (O_pad >= (1 << 19)
-                                or (cap_seconds > 0 and O_pad >= (1 << 16))):
-            # Only the INIT dispatch goes out now; the chunk loop (which
-            # must sync per chunk) runs inside finish(), preserving the
-            # optimize_async contract that nothing blocks before finish.
-            carry0 = lm_init(prob, cfg)
+        if O_pad >= (1 << 19) or (cap_seconds > 0 and O_pad >= (1 << 16)):
+            # Big solves are CHUNKED regardless of path: bounded dispatches
+            # stay under the relay watchdog and give the wall cap sync
+            # points. The dense machinery (device-derived slot maps +
+            # camera-run maps) threads through lm_init/ba_resume as array
+            # arguments, so mid-size GLOBAL solves (C <= dense_schur_max_
+            # cams) keep the scatter-free MXU formulation — the r4
+            # endurance pass-3 stall traced to the matrix-free path's
+            # duplicate-index scatter-adds at ~2M observations inside the
+            # closure's global BA.
+            ds = None
+            cam_red0 = None
+            if dense_K is not None:
+                ds = _build_slots_jit(prob.obs_point, prob.obs_cam,
+                                      prob.obs_weight, n_points_pad=P_pad,
+                                      K=dense_K)
+                if cam_K is not None:
+                    cam_red0 = _build_cam_slots_jit(
+                        prob.obs_cam, prob.obs_weight, n_cams=C_pad,
+                        Kc=cam_K)
+            carry0 = lm_init(prob, cfg, dense_slots=ds, cam_red=cam_red0)
 
             def finish_chunked() -> dict:
                 import time as _time
@@ -866,7 +888,9 @@ class BundleAdjuster:
                 n_done = 0
                 while n_done < iters:
                     k = min(chunk, iters - n_done)
-                    carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg)
+                    carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg,
+                                                   dense_slots=ds,
+                                                   cam_red=cam_red0)
                     n_done += int(k_run)  # sync point bounds the dispatch
                     if bool(conv):
                         break

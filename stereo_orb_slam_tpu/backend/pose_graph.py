@@ -341,11 +341,18 @@ class PoseGraphOptimizer:
             "cost_final": cost,
         }
 
-        # Global BA after the pose-graph solve (ref :95).
+        # Global BA after the pose-graph solve (ref :95). Live solves are
+        # wall-capped AND window-bounded (cfg.live_ba_window_frames): the
+        # pose graph has already applied the closure correction; the BA
+        # here is polish, and the reference's own 1 s Ceres cap buys ~one
+        # LM iteration at deep-sequence scale anyway.
         t_ba = _time.perf_counter()
         if run_global_ba and self.ba is not None and n >= 2:
+            lo = 0
+            if live and self.cfg.live_ba_window_frames > 0:
+                lo = max(0, n - 1 - self.cfg.live_ba_window_frames)
             stats["global_ba"] = self.ba.optimize(
-                0, n - 1,
+                lo, n - 1,
                 max_seconds=self.cfg.live_ba_max_seconds if live else None,
             )
         # Phase split of the stall (closure attribution, r4 directive 7):

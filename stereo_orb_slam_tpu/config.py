@@ -168,6 +168,15 @@ class PoseGraphConfig:
     # returns best-so-far. End-of-sequence solves are uncapped here (they
     # honor BAConfig.max_solve_seconds instead).
     live_ba_max_seconds: float = 1.0
+    # Frame extent of that LIVE post-closure refinement. The reference
+    # global-BAs the whole map mid-run under the same 1 s Ceres cap — at
+    # deep-sequence scale that buys roughly one LM iteration while costing
+    # a full giant-problem build (the r4 endurance trace measured a
+    # multi-minute stall in exactly this call). Bounding the live solve to
+    # the trailing window keeps the stall within the cap at ANY sequence
+    # length; the full-map polish still runs at finish() (ref
+    # slam.cpp:152-156). 0 = whole map (reference cadence).
+    live_ba_window_frames: int = 512
 
 
 @dataclass(frozen=True)
