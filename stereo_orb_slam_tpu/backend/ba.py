@@ -880,8 +880,9 @@ class BundleAdjuster:
 
                 chunk = max(1, (1 << 22) // O_pad)
                 if cap_seconds > 0:
-                    # Check the clock at least every 8 iterations.
-                    chunk = min(chunk, 8)
+                    # A dispatch cannot be preempted; small chunks keep the
+                    # cap honest even when the transport is slow.
+                    chunk = min(chunk, 4)
                 t0 = _time.perf_counter()
                 carry = carry0
                 cost_init = carry.cost

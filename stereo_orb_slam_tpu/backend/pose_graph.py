@@ -272,6 +272,12 @@ class PoseGraphOptimizer:
         # count instead of the reference's per-edge MatchPoints calls.
         n_loop = 0
         t_match = _time.perf_counter()
+        if (live and self.cfg.live_max_edges > 0
+                and len(self.loop_edges) > self.cfg.live_max_edges):
+            # Bound the per-closure measurement cost (cfg.live_max_edges):
+            # keep the most recent candidates — a sustained revisit queues
+            # one near-duplicate candidate per frame.
+            self.loop_edges = self.loop_edges[-self.cfg.live_max_edges:]
         if self.loop_matcher is not None and self.loop_edges:
             if hasattr(self.loop_matcher, "batch"):
                 measured = self.loop_matcher.batch(self.loop_edges)

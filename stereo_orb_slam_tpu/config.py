@@ -175,8 +175,20 @@ class PoseGraphConfig:
     # multi-minute stall in exactly this call). Bounding the live solve to
     # the trailing window keeps the stall within the cap at ANY sequence
     # length; the full-map polish still runs at finish() (ref
-    # slam.cpp:152-156). 0 = whole map (reference cadence).
-    live_ba_window_frames: int = 512
+    # slam.cpp:152-156). 0 = whole map (reference cadence). 256 keeps the
+    # live refinement inside the dense-Schur gate (C_pad <= 512 and
+    # P_pad * K slots bounded even with tracks as long as the window), so
+    # the capped solve runs scatter-free MXU iterations.
+    live_ba_window_frames: int = 256
+    # Candidate loop edges measured per LIVE closure (most recent kept).
+    # A long revisit queues one candidate per frame (375 in the r4
+    # endurance drive); they are massively redundant — consecutive frames
+    # of the same revisit — and each one costs matcher+RANSAC work inside
+    # the stall. The reference measures every queued candidate serially
+    # (ref pose_graph_optimizer.cpp:175-217) and would stall far longer.
+    # 0 = measure all (reference cadence). Final (finish) solves always
+    # measure everything still queued.
+    live_max_edges: int = 128
 
 
 @dataclass(frozen=True)
