@@ -172,6 +172,22 @@ def main():
         del warm_sys
         compile_count[0] = 0
 
+    # Transport health at run time: the relay's round trip varies by
+    # multiples across the day and scales EVERY number below; record it so
+    # runs are comparable (sync-differencing methodology, bench.py).
+    import jax.numpy as jnp
+    import numpy as _np
+
+    noop = jax.jit(lambda x: x * 1.0)
+    zz = jnp.ones((8, 8), jnp.float32)
+    _ = _np.asarray(noop(zz))
+    rtts = []
+    for _i in range(8):
+        t0 = time.perf_counter()
+        _ = _np.asarray(noop(zz))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = round(1e3 * float(_np.median(rtts)), 1)
+
     reader = DeviceBatchReader(scene, args.batch)
 
     t_start = time.perf_counter()
@@ -239,6 +255,7 @@ def main():
         "tracked_frames": int(n),
         "batch_frames": args.batch,
         "db_capacity_initial": db_capacity,
+        "relay_rtt_ms_at_start": rtt_ms,
         "db_size_final": int(system.loop.db_size if system.loop else 0),
         "live_fps_overall": round(system.frame_index / t_live, 2),
         "fps_per_window": fps_curve,

@@ -332,8 +332,7 @@ class SlamSystem:
             )
 
     # ----------------------------------------------------------------- frames
-    def prewarm_closure_path(self, max_frames: int,
-                             edge_ladder=(256, 512)):
+    def prewarm_closure_path(self, max_frames: int, edge_ladder=None):
         """Compile (or pull from the persistent cache) every program the
         LOOP-CLOSURE path can need over a drive of up to `max_frames`
         frames — pose-graph solves at the pow2 vertex/edge buckets and the
@@ -371,6 +370,12 @@ class SlamSystem:
         # Loop-edge measurement buckets (device-bank path). Throwaway zero
         # rings if tracking has not created the real ones yet — only the
         # SHAPES key the jit cache.
+        if edge_ladder is None:
+            # The live closure measures at most live_max_edges candidates
+            # (pow2-padded), so that single bucket — plus a small one for
+            # sparse batches — covers the live path exactly.
+            cap_e = cfg.pose_graph.live_max_edges or 512
+            edge_ladder = (16, max(16, 1 << (cap_e - 1).bit_length()))
         n = cfg.frontend.num_features
         banks = self._bank_dev
         if banks is None:

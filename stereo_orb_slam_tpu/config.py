@@ -175,11 +175,13 @@ class PoseGraphConfig:
     # multi-minute stall in exactly this call). Bounding the live solve to
     # the trailing window keeps the stall within the cap at ANY sequence
     # length; the full-map polish still runs at finish() (ref
-    # slam.cpp:152-156). 0 = whole map (reference cadence). 256 keeps the
-    # live refinement inside the dense-Schur gate (C_pad <= 512 and
-    # P_pad * K slots bounded even with tracks as long as the window), so
-    # the capped solve runs scatter-free MXU iterations.
-    live_ba_window_frames: int = 256
+    # slam.cpp:152-156). 0 = whole map (reference cadence). 64 keeps the
+    # live refinement inside the dense-Schur gate EVEN when feature tracks
+    # span the entire window (K = pow2(track length) multiplies the slot
+    # count; at 64 frames P_pad*K stays under dense_schur_max_slots), so
+    # the capped solve runs scatter-free MXU iterations in sub-second
+    # chunks.
+    live_ba_window_frames: int = 64
     # Candidate loop edges measured per LIVE closure (most recent kept).
     # A long revisit queues one candidate per frame (375 in the r4
     # endurance drive); they are massively redundant — consecutive frames
