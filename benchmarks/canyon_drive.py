@@ -84,6 +84,13 @@ def main():
     ap.add_argument("--out", default="CANYON_E2E_r04.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip_warm", action="store_true")
+    ap.add_argument("--reuse_dataset", action="store_true",
+                    help="skip rendering when the dataset folder already "
+                         "holds the requested frame count")
+    ap.add_argument("--loop_query_size", type=int, default=8,
+                    help="BoW top-k (8: keeps distant candidates visible "
+                         "during long revisits; the r3 canyon needed the "
+                         "same)")
     ap.add_argument("--small", action="store_true",
                     help="fast smoke configuration (CPU CI): 96 frames, "
                          "320x480, 384 features, batch 8")
@@ -114,11 +121,16 @@ def main():
     traj = two_episode_trajectory(args.frames, args.side, args.side_b)
 
     t_render = time.time()
-    frames = [(l.astype(np.uint8), r.astype(np.uint8))
-              for (l, r) in scene.render_sequence(traj)]
-    gt_path = write_kitti(args.dataset_dir, frames, traj, fx, cx, cy,
-                          scene.baseline)
-    del frames
+    img0 = args.dataset_dir + "/image_0"
+    have = (len(os.listdir(img0)) if os.path.isdir(img0) else 0)
+    if args.reuse_dataset and have >= args.frames:
+        gt_path = args.dataset_dir + "/gt.txt"
+    else:
+        frames = [(l.astype(np.uint8), r.astype(np.uint8))
+                  for (l, r) in scene.render_sequence(traj)]
+        gt_path = write_kitti(args.dataset_dir, frames, traj, fx, cx, cy,
+                              scene.baseline)
+        del frames
     t_render = time.time() - t_render
 
     cli = ["--dataset", "kitti", "--folder", args.dataset_dir,
@@ -126,12 +138,13 @@ def main():
            "--output_dir", args.dataset_dir + "/out",
            "--batch_frames", str(args.batch),
            "--num_features", str(args.features),
+           "--loop_query_size", str(args.loop_query_size),
            "--gt", gt_path]
 
     def run_cli():
         buf = io.StringIO()
         t0 = time.time()
-        with contextlib.redirect_stdout(buf):
+        with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
             slam_app.main(cli)
         return time.time() - t0, buf.getvalue()
 
@@ -145,7 +158,8 @@ def main():
         return float(m.group(1)) if m else default
 
     live_fps = grab(r"live loop: ([\d.]+) fps")
-    ate = grab(r"ATE RMSE: ([\d.]+) m")
+    ate_live = grab(r"live ATE RMSE: ([\d.]+) m")
+    ate = grab(r"(?<!live )ATE RMSE: ([\d.]+) m")
     rpe_t = grab(r"RPE: ([\d.]+) m")
     # Loop EPISODES from the CLI's loop trace artifact: upward crossings
     # of the is_loop threshold in the per-frame Bayes probability.
@@ -176,6 +190,7 @@ def main():
         "warm_pass_seconds": round(t_warm, 1),
         "live_fps": live_fps,
         "total_seconds_timed_pass": round(t_total, 1),
+        "ate_live_m": ate_live,
         "ate_final_m": ate,
         "trajectory_path_m": round(path_len, 1),
         "ate_pct_of_path": (round(100.0 * ate / path_len, 3)

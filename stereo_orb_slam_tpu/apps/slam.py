@@ -723,6 +723,10 @@ def main(argv=None):
         cfg = cfg.replace(
             frontend=dataclasses.replace(cfg.frontend,
                                          num_features=args.num_features))
+    if args.loop_query_size:
+        cfg = cfg.replace(
+            loop=dataclasses.replace(cfg.loop,
+                                     query_size=args.loop_query_size))
     system = SlamSystem(rig, cfg, vocab=vocab)
 
     t_start = time.perf_counter()
@@ -768,6 +772,11 @@ def main(argv=None):
                 prev_img = img_l
     system.flush()  # drain the pipeline: live fps covers ALL tracked frames
     t_live = time.perf_counter() - t_start
+    if args.gt:
+        gt0 = evaluate.load_kitti_gt(args.gt)
+        n0 = system.world.num_frames
+        print(f"live ATE RMSE: "
+              f"{evaluate.ate_rmse(system.world.pose_global[:n0], gt0):.3f} m")
     system.finish()
     total = time.perf_counter() - t_start
 
