@@ -701,6 +701,11 @@ def main(argv=None):
                     help="corners per image (0 = config default 1024; the "
                          "reference's MAX_CORNER is a compile-time constant, "
                          "ref src/params.h:9)")
+    ap.add_argument("--loop_query_size", type=int, default=0,
+                    help="BoW top-k per query (0 = config default 4, ref "
+                         "src/params.h:54). Larger keeps distant-frame "
+                         "candidates visible during long revisits, when "
+                         "adjacent hits crowd a small top-k.")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
     ap.add_argument("--debug_viz", default=None, metavar="DIR",
