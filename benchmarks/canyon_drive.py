@@ -139,6 +139,7 @@ def main():
            "--batch_frames", str(args.batch),
            "--num_features", str(args.features),
            "--loop_query_size", str(args.loop_query_size),
+           "--ransac_refit",
            "--gt", gt_path]
 
     def run_cli():

@@ -706,6 +706,12 @@ def main(argv=None):
                          "src/params.h:54). Larger keeps distant-frame "
                          "candidates visible during long revisits, when "
                          "adjacent hits crowd a small top-k.")
+    ap.add_argument("--ransac_refit", action="store_true",
+                    help="re-fit the RANSAC pose on the winning hypothesis's "
+                         "inliers (final_model_fitting). The reference ships "
+                         "it OFF (ref src/params.h:18), which stays the "
+                         "default; ON materially cuts VO drift on long "
+                         "drives with deep, noisy triangulations.")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
     ap.add_argument("--debug_viz", default=None, metavar="DIR",
@@ -732,6 +738,10 @@ def main(argv=None):
         cfg = cfg.replace(
             loop=dataclasses.replace(cfg.loop,
                                      query_size=args.loop_query_size))
+    if args.ransac_refit:
+        cfg = cfg.replace(
+            ransac=dataclasses.replace(cfg.ransac,
+                                       final_model_fitting=True))
     system = SlamSystem(rig, cfg, vocab=vocab)
 
     t_start = time.perf_counter()
