@@ -39,15 +39,17 @@ enable_compilation_cache()
 
 
 def two_episode_trajectory(frames: int, side_a: float, side_b: float):
-    """[N,4,4] poses: A, A, B, A — two sustained revisit phases separated
-    by novel territory (see module docstring)."""
+    """[N,4,4] poses: A, A, B, A, B, A — sustained revisit phases separated
+    by novel-territory circuits (see module docstring). Six segments keep
+    the per-frame step near 60 mm (per-step triangulation noise is roughly
+    step-size independent, so longer steps drift less per metre)."""
     sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
     from synth import loop_trajectory
 
-    seg = max(16, frames // 4 // 4 * 4)
+    seg = max(16, frames // 6 // 4 * 4)
     tA = loop_trajectory(seg, side=side_a)
     tB = loop_trajectory(seg, side=side_b)
-    traj = np.concatenate([tA, tA, tB, tA])
+    traj = np.concatenate([tA, tA, tB, tA, tB, tA])
     return traj[:frames]
 
 
