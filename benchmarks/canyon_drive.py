@@ -46,10 +46,17 @@ def two_episode_trajectory(frames: int, side_a: float, side_b: float):
     sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
     from synth import loop_trajectory
 
-    seg = max(16, frames // 6 // 4 * 4)
-    tA = loop_trajectory(seg, side=side_a)
-    tB = loop_trajectory(seg, side=side_b)
-    traj = np.concatenate([tA, tA, tB, tA, tB, tA])
+    if frames >= 900:
+        seg = max(16, frames // 6 // 4 * 4)
+        tA = loop_trajectory(seg, side=side_a)
+        tB = loop_trajectory(seg, side=side_b)
+        traj = np.concatenate([tA, tA, tB, tA, tB, tA])
+    else:
+        # Small/smoke scale: six segments would leave too few frames per
+        # leg (degenerate per-frame yaw). One circuit + one revisit.
+        seg = max(16, frames // 2 // 4 * 4)
+        tA = loop_trajectory(seg, side=side_a)
+        traj = np.concatenate([tA, tA])
     return traj[:frames]
 
 
@@ -94,11 +101,11 @@ def main():
                          "during long revisits; the r3 canyon needed the "
                          "same)")
     ap.add_argument("--small", action="store_true",
-                    help="fast smoke configuration (CPU CI): 96 frames, "
+                    help="fast smoke configuration (CPU CI): 192 frames, "
                          "320x480, 384 features, batch 8")
     args = ap.parse_args()
     if args.small:
-        args.frames, args.h, args.w = 96, 320, 480
+        args.frames, args.h, args.w = 192, 320, 480
         args.features, args.batch = 384, 8
 
     import jax
@@ -182,8 +189,8 @@ def main():
 
     result = {
         "what": ("full SLAM through the REAL CLI on the ray-traced canyon "
-                 "world at production shapes; A-A-B-A trajectory with two "
-                 "revisit episodes; REFERENCE matching gates (30/0.5)"),
+                 "world at production shapes; A-A-B-A-B-A trajectory with "
+                 "sustained revisit episodes; REFERENCE matching gates (30/0.5)"),
         "frames": args.frames,
         "image_size": f"{args.h}x{args.w}",
         "num_features": args.features,

@@ -86,7 +86,7 @@ class FakeOptimizer:
     def add_loop_edge(self, a, b):
         self.edges.append((a, b))
 
-    def optimize(self):
+    def optimize(self, live=False):
         self.optimize_calls += 1
 
 

@@ -233,14 +233,17 @@ def test_canyon_full_slam_loop_closure(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     r = subprocess.run(
-        [sys.executable, "-m", "benchmarks.canyon_drive", "--cpu",
-         "--frames", "144", "--batch", "8", "--out", str(out)],
+        [sys.executable, "-m", "benchmarks.canyon_drive", "--cpu", "--small",
+         "--skip_warm", "--dataset_dir", str(tmp_path / "kitti"),
+         "--out", str(out)],
         cwd=repo, env=env, capture_output=True, text=True, timeout=850,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     data = json.loads(out.read_text())
-    assert data["frames"] == 144
+    assert data["frames"] == 192
     assert data["bayes_p_max"] > 0.9, data
-    assert data["loop_edges_final"] >= 1, data
-    assert data["ate_final_m"] < 0.05, data
-    assert data["ate_final_m"] <= data["ate_vo_m"] + 1e-6, data
+    assert data["loop_episodes"] >= 1, data
+    assert data["ate_final_m"] < 0.08, data
+    # The final pose graph + global BA must not make things materially
+    # worse than the live estimate.
+    assert data["ate_final_m"] <= data["ate_live_m"] + 0.02, data
