@@ -90,6 +90,7 @@ def test_vo_image_noise():
     assert ate < 0.35, f"noisy VO ATE {ate:.3f} m"
 
 
+@pytest.mark.slow
 def test_slam_ba_forward_yaw_ate():
     """Full SLAM (per-frame + windowed + final BA) beats the bound the VO
     path only approaches: the back end must tighten the trajectory."""

@@ -15,6 +15,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 _WORKER = r"""
 import os, sys, json
@@ -72,6 +73,7 @@ print("RESULT " + json.dumps(out))
 """
 
 
+@pytest.mark.slow
 def test_f32_cost_signal_matches_f64_at_1000_keyframes(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "worker.py"
