@@ -365,7 +365,10 @@ def main():
     sweep = {}
     best = None
     for b in (2, 4, 8, 16, 24, 32):
-        fps, info = bench_e2e_slam(batch=b, warm_batches=2,
+        # Warm-up must cover the first refine-interval crossings at THIS
+        # batch size (the window-BA camera buckets are cadence-dependent),
+        # or small-K entries time their own first compiles.
+        fps, info = bench_e2e_slam(batch=b, warm_batches=max(2, 48 // b),
                                    timed_batches=max(3, 96 // b))
         sweep[str(b)] = round(fps, 2)
         if best is None or fps > best[0]:
