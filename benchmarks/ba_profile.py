@@ -144,7 +144,7 @@ def main():
     # op path keeps the semantic operation visible.
     opmap = {}
     for m in re.finditer(
-        r"%?([\w.\-]+) = ([\w\[\],{}: ]+?) [\w\-]+\(.*?metadata=\{[^}]*?"
+        r"%?([\w.\-]+) = (\S+) [\w\-]+\(.*?metadata=\{[^}]*?"
         r"op_name=\"([^\"]+)\"", hlo,
     ):
         shape = m.group(2).split("{")[0].strip()
