@@ -249,6 +249,32 @@ def triangulate_ideal(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0,
     return pts, valid
 
 
+def triangulate_rectified_np(fx, cx, cy, cx_r, baseline, uv_l, uv_r):
+    """Host (NumPy) mirror of triangulate_rectified's VALUE computation —
+    exact same f32 op order, scalar intrinsics.
+
+    Exists so the live loop's packed readback can DROP the [K,N,3] point
+    block (~33%% of the transfer bytes on the relay transport) and
+    recompute it from the keypoints it already reads back; the validity
+    gate still comes from the device flags. Rectified rigs only — the
+    general path's SVD has no cheap host mirror.
+    """
+    fx = np.float32(fx)
+    cx = np.float32(cx)
+    cy = np.float32(cy)
+    cx_r = np.float32(cx_r)
+    b = np.float32(baseline)
+    u = uv_l[..., 0]
+    v = uv_l[..., 1]
+    d = uv_l[..., 0] - uv_r[..., 0]
+    dd = d - (cx - cx_r)
+    safe_dd = np.where(np.abs(dd) < np.float32(1e-6), np.float32(1e-6), dd)
+    z = fx * b / safe_dd
+    x = (u - cx) * z / fx
+    y = (v - cy) * z / fx
+    return np.stack([x, y, z], axis=-1)
+
+
 def triangulate(rig: StereoRig, uv_l, uv_r, max_depth: float = 100.0,
                 rectified=None):
     """Dispatch rectified / general triangulation; both return (pts, valid).

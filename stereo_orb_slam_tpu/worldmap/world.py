@@ -174,6 +174,47 @@ class WorldMap:
         self.num_frames += 1
         return fid
 
+    def add_frames(self, rel_poses: np.ndarray) -> np.ndarray:
+        """Append K frames (batched add_frame); returns their ids.
+
+        Bitwise-identical to K add_frame calls: the rel poses batch-
+        normalize in one pass (per-row elementwise math — identical floats
+        to the one-at-a-time calls), while the global chain keeps the
+        per-step matmul + renormalize of the Frame constructor
+        (ref camera_frame.h:20-27) because each global feeds the next."""
+        rel_poses = np.asarray(rel_poses, np.float32)
+        k = len(rel_poses)
+        fid0 = self.num_frames
+        self._ensure_frames(fid0 + k)
+        rels = _np_normalize_rot_batch(rel_poses)
+        self.pose_rel[fid0 : fid0 + k] = rels
+        for j in range(k):
+            fid = fid0 + j
+            if fid == 0:
+                self.pose_global[fid] = rels[j]
+            else:
+                self.pose_global[fid] = _np_normalize_rot(
+                    self.pose_global[fid - 1] @ rels[j]
+                )
+        self.num_frames += k
+        return np.arange(fid0, fid0 + k, dtype=np.int32)
+
+    def set_frame_features_batch(self, fid0: int, desc, uv4, point_ids,
+                                 valid):
+        """Batched set_frame_features for K CONSECUTIVE frames starting at
+        fid0 (the batched-ingest layout: every recorded frame of a batch
+        gets a consecutive id). desc None marks the host mirror stale, as
+        in the per-frame setter."""
+        k = len(uv4)
+        n = min(uv4.shape[1], self.feat_slots)
+        if desc is None:
+            self.frame_desc_stale = True
+        else:
+            self.frame_desc[fid0 : fid0 + k, :n] = desc[:, :n]
+        self.frame_feat_uv[fid0 : fid0 + k, :n] = uv4[:, :n]
+        self.frame_feat_point[fid0 : fid0 + k, :n] = point_ids[:, :n]
+        self.frame_feat_valid[fid0 : fid0 + k, :n] = valid[:, :n]
+
     def set_frame_features(self, fid, desc, uv4, point_ids, valid):
         """desc may be None (the fused-BoW batched path keeps descriptor
         banks device-resident; see odometer.frontend_chain_packed_bow).
@@ -200,6 +241,37 @@ class WorldMap:
         self.point_obs_count[ids] = 1
         self.num_points += n
         return ids
+
+    def add_points_multi(self, xyz_world: np.ndarray,
+                         first_frames: np.ndarray) -> np.ndarray:
+        """Batched add_points with a PER-POINT first-observed frame id
+        (the batched ingest concatenates every frame's new landmarks into
+        one append). Identical writes to per-frame add_points calls."""
+        n = len(xyz_world)
+        ids = np.arange(self.num_points, self.num_points + n, dtype=np.int32)
+        self._ensure_points(self.num_points + n)
+        self.points[ids] = xyz_world
+        self.point_first_frame[ids] = first_frames
+        self.point_obs_count[ids] = 1
+        self.num_points += n
+        return ids
+
+    def add_observations_multi(self, frame_ids, point_ids, uv4, sigma=None):
+        """Batched add_observations with a PER-OBSERVATION frame id.
+        frame_ids must be nondecreasing (the batched ingest emits frames in
+        order) — ba_problem's searchsorted window slicing relies on it."""
+        n = len(point_ids)
+        self._ensure_obs(self.num_obs + n)
+        sl = slice(self.num_obs, self.num_obs + n)
+        self.obs_frame[sl] = frame_ids
+        self.obs_point[sl] = point_ids
+        self.obs_uv[sl] = uv4
+        if sigma is not None:
+            self.obs_sigma[sl] = sigma
+        self.num_obs += n
+        ids = np.asarray(point_ids, np.int64)
+        np.add.at(self.point_obs_count,
+                  ids[(ids >= 0) & (ids < self.num_points)], 1)
 
     def canonical(self, ids: np.ndarray) -> np.ndarray:
         """Union-find root of point ids (path-compressing), vectorized."""
@@ -244,7 +316,11 @@ class WorldMap:
         # size) PER FRAME — real milliseconds once the map holds 50k+
         # landmarks on a long drive).
         ids = np.asarray(point_ids, np.int64)
-        np.add.at(self.point_obs_count, ids[ids < self.num_points], 1)
+        # Guard both ends: a negative id would wrap and bump a count from
+        # the array's end (the pre-r4 bincount raised there; keep that
+        # failure containment).
+        np.add.at(self.point_obs_count,
+                  ids[(ids >= 0) & (ids < self.num_points)], 1)
 
     # ------------------------------------------------------------- pose edits
     def set_global_poses(self, frame_ids: np.ndarray, new_poses: np.ndarray):
@@ -348,12 +424,18 @@ class WorldMap:
           point_ids:  [P] global (canonical) ids
           frame_ids:  [C] global frame ids
         """
-        sel = (self.obs_frame[: self.num_obs] >= start_frame) & (
-            self.obs_frame[: self.num_obs] < end_frame
-        )
-        o_frame = self.obs_frame[: self.num_obs][sel]
-        o_point = self.canonical(self.obs_point[: self.num_obs][sel])
-        o_uv = self.obs_uv[: self.num_obs][sel]
+        # obs_frame is NONDECREASING by construction (frames append in id
+        # order and each frame's observations append together), so the
+        # window is a contiguous slice found by binary search. The previous
+        # boolean masks were O(total observations) PER SOLVE — ~2M-element
+        # passes per live window solve by the end of an endurance drive,
+        # a per-frame cost that grew with map size (r5 directive 1).
+        of = self.obs_frame[: self.num_obs]
+        lo = int(np.searchsorted(of, start_frame, side="left"))
+        hi = int(np.searchsorted(of, end_frame, side="left"))
+        o_frame = of[lo:hi]
+        o_point = self.canonical(self.obs_point[lo:hi].copy())
+        o_uv = self.obs_uv[lo:hi]
 
         uniq, inv = np.unique(o_point, return_inverse=True)
         frame_ids = np.arange(start_frame, end_frame, dtype=np.int32)
