@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="fast smoke configuration (CPU CI): 192 frames, "
                          "320x480, 384 features, batch 8")
+    ap.add_argument("--finish_seconds", type=float, default=60.0,
+                    help="declared finish-stage wall budget forwarded to "
+                         "the CLI (r5 directive 8); 0 = uncapped")
     args = ap.parse_args()
     if args.small:
         args.frames, args.h, args.w = 192, 320, 480
@@ -149,6 +152,7 @@ def main():
            "--num_features", str(args.features),
            "--loop_query_size", str(args.loop_query_size),
            "--ransac_refit",
+           "--finish_seconds", str(args.finish_seconds),
            "--gt", gt_path]
 
     def run_cli():
@@ -179,8 +183,12 @@ def main():
         probs = [float(m.group(1)) for m in re.finditer(
             r"probability = ([\d.eE+-]+)", open(trace).read())]
         if probs:
+            from stereo_orb_slam_tpu.config import LoopConfig
+
             p = np.asarray(probs)
-            above = p > 0.9
+            # Same threshold source as endurance.py (config, not a literal),
+            # so the two harnesses can't disagree if the default moves.
+            above = p > LoopConfig().is_loop_thresh
             episodes = int(np.sum(above[1:] & ~above[:-1])
                            + (1 if above[:1].any() else 0))
             p_max = float(p.max())
@@ -200,6 +208,7 @@ def main():
         "warm_pass_seconds": round(t_warm, 1),
         "live_fps": live_fps,
         "total_seconds_timed_pass": round(t_total, 1),
+        "finish_budget_seconds": args.finish_seconds,
         "ate_live_m": ate_live,
         "ate_final_m": ate,
         "trajectory_path_m": round(path_len, 1),

@@ -96,6 +96,14 @@ def main():
                          "resize + pipeline drain at frame ~1024 (r4 "
                          "directive 1a). Pass a small value explicitly to "
                          "exercise the capacity-doubling drain path.")
+    ap.add_argument("--finish_seconds", type=float, default=60.0,
+                    help="declared wall budget for the end-of-sequence pose "
+                         "graph + global BA polish (r5 directive 8); "
+                         "0 = uncapped")
+    ap.add_argument("--budget_curve", action="store_true",
+                    help="also record ATE after finish budgets of "
+                         "1/10/30/uncapped seconds (restores world state "
+                         "between runs; adds minutes)")
     ap.add_argument("--warm_frames", type=int, default=96,
                     help="throwaway warm drive length before the timed run "
                          "(0 disables); populates jit caches off the clock")
@@ -114,11 +122,17 @@ def main():
     # Count XLA compiles via the jax_log_compiles logger: after warm-up the
     # count must stop growing (shape-bucket leaks would recompile forever).
     compile_count = [0]
+    cur_frame = [0]          # frame index the live loop is at (for logs)
+    compile_log = []         # (frame_index, HLO module name) per compile
 
     class _H(logging.Handler):
         def emit(self, record):
-            if "Compiling" in record.getMessage():
+            msg = record.getMessage()
+            if "Compiling" in msg:
                 compile_count[0] += 1
+                # Record WHICH module compiled and when, so post-warm-up
+                # compiles are attributable (r5 directive 6).
+                compile_log.append((cur_frame[0], msg[:160]))
 
     handler = _H()
     jax.config.update("jax_log_compiles", True)
@@ -171,6 +185,7 @@ def main():
         warm_sys.prewarm_closure_path(args.frames)
         del warm_sys
         compile_count[0] = 0
+        compile_log.clear()
 
     # Transport health at run time: the relay's round trip varies by
     # multiples across the day and scales EVERY number below; record it so
@@ -193,12 +208,15 @@ def main():
     t_start = time.perf_counter()
     batch_t = []        # (frame_index_after, wall_time)
     compiles_t = []
+    stage_t = []        # (frame_index_after, dict(timers.totals)) snapshots
     pgo_solves_before = 0
     for dl, dr in reader:
         t0 = time.perf_counter()
         system.process_batch(dl, dr)
         batch_t.append((system.frame_index, time.perf_counter() - t0))
+        cur_frame[0] = system.frame_index
         compiles_t.append(compile_count[0])
+        stage_t.append((system.frame_index, dict(system.timers.totals)))
     for l, r in reader.remainder:
         system.process(l, r)
     system.flush()
@@ -223,6 +241,27 @@ def main():
     first_win_batches = len(windows[keys[0]])
     compiles_after_warm = compile_count[0] - compiles_t[
         min(first_win_batches, len(compiles_t)) - 1]
+    f_boundary = batch_t[min(first_win_batches, len(batch_t)) - 1][0]
+    late_compiles = [{"frame": f, "module": m.replace("Compiling ", "")}
+                     for (f, m) in compile_log if f >= f_boundary]
+
+    # Per-window per-stage split (ms/frame): deltas of the cumulative
+    # stage totals at each window's last batch (r5 directive 1 — the
+    # 8.4 ms/frame at-scale gap between bench and endurance was
+    # unattributed in r4).
+    last_snap = {}
+    for (fidx, tot) in stage_t:
+        last_snap[fidx // W] = (fidx, tot)
+    stage_by_window = {}
+    prev_f, prev_tot = 0, {}
+    for wk in sorted(last_snap):
+        fidx, tot = last_snap[wk]
+        nf = max(fidx - prev_f, 1)
+        stage_by_window[str(wk * W)] = {
+            k: round(1e3 * (tot.get(k, 0.0) - prev_tot.get(k, 0.0)) / nf, 2)
+            for k in sorted(tot)
+        }
+        prev_f, prev_tot = fidx, tot
 
     live_committed = len(system.pgo.committed_edges)
     p_trace = (np.asarray(system.loop.probabilities)
@@ -232,22 +271,63 @@ def main():
     episodes = int(np.sum(above[1:] & ~above[:-1]) + (1 if above[:1].any()
                                                       else 0))
 
-    # Final pose graph + global BA, then ATE vs exact lateral ground truth.
+    # GT: camera at lateral offset pos*depth/fx (texture slides `pos` px at
+    # plane depth `depth`).
+    depth = fx * b / scene.shift
+
+    def lateral_ate():
+        wn = system.world.num_frames
+        gt_x = scene.pos[:wn] * depth / fx
+        est_x = system.world.pose_global[:wn, 0, 3]
+        return float(np.sqrt(np.mean((est_x - gt_x) ** 2)))
+
+    # Optional convergence-vs-budget curve (r5 directive 8): finish under
+    # several wall budgets, restoring the live world state between runs.
+    budget_curve = None
+    if args.budget_curve:
+        import copy
+
+        def snap_state():
+            return (
+                copy.deepcopy(system.world.__dict__),
+                copy.deepcopy({
+                    k: v for k, v in system.pgo.__dict__.items()
+                    if k not in ("world", "ba", "loop_matcher",
+                                 "pre_optimize_hook")
+                }),
+            )
+
+        def restore_state(s):
+            system.world.__dict__.update(copy.deepcopy(s[0]))
+            system.pgo.__dict__.update(copy.deepcopy(s[1]))
+
+        snap = snap_state()
+        budget_curve = {}
+        for budget in (1.0, 10.0, 30.0, 0.0):
+            restore_state(snap)
+            tb = time.perf_counter()
+            try:
+                system.finish(max_seconds=budget or None)
+                budget_curve[str(budget) if budget else "uncapped"] = {
+                    "wall_s": round(time.perf_counter() - tb, 2),
+                    "lateral_ate_m": round(lateral_ate(), 4),
+                }
+            except Exception as e:
+                budget_curve[str(budget)] = f"{type(e).__name__}: {e}"[:200]
+        restore_state(snap)
+
+    # Final pose graph + global BA under the DECLARED budget, then ATE vs
+    # exact lateral ground truth.
     t0 = time.perf_counter()
     finish_error = None
     try:
-        system.finish()
+        system.finish(max_seconds=args.finish_seconds or None)
     except Exception as e:  # record the live metrics even if finish dies
         finish_error = f"{type(e).__name__}: {e}"[:300]
     t_finish = time.perf_counter() - t0
     w = system.world
     n = w.num_frames
-    depth = fx * b / scene.shift
-    # GT: camera at lateral offset pos*depth/fx (texture slides `pos` px at
-    # plane depth `depth`).
-    gt_x = scene.pos[:n] * depth / fx
-    est_x = w.pose_global[:n, 0, 3]
-    ate = float(np.sqrt(np.mean((est_x - gt_x) ** 2)))
+    ate = lateral_ate()
 
     result = {
         "what": "live batched SLAM endurance drive (zig-zag revisit path)",
@@ -259,10 +339,12 @@ def main():
         "db_size_final": int(system.loop.db_size if system.loop else 0),
         "live_fps_overall": round(system.frame_index / t_live, 2),
         "fps_per_window": fps_curve,
+        "stage_ms_per_frame_by_window": stage_by_window,
         "fps_flatness_last_vs_early": (
             round(fps_last / fps_ref, 3) if fps_ref else None),
         "compiles_total": compile_count[0],
         "compiles_after_first_window": compiles_after_warm,
+        "compiles_after_first_window_modules": late_compiles,
         "loop_episodes": episodes,
         "bayes_p_max": float(p_trace.max()),
         "loop_edges_committed_live": int(live_committed),
@@ -275,6 +357,8 @@ def main():
                                   for t in system.pgo.live_stall_log],
         "closure_stall_splits": system.pgo.live_stall_splits,
         "finish_seconds": round(t_finish, 2),
+        "finish_budget_seconds": args.finish_seconds,
+        "finish_budget_curve": budget_curve,
         "finish_error": finish_error,
         "lateral_ate_m": round(ate, 4),
         "num_points": int(w.num_points),

@@ -878,27 +878,40 @@ class BundleAdjuster:
             def finish_chunked() -> dict:
                 import time as _time
 
-                chunk = max(1, (1 << 22) // O_pad)
-                if cap_seconds > 0:
-                    # A dispatch cannot be preempted; small chunks keep the
-                    # cap honest even when the transport is slow.
-                    chunk = min(chunk, 4)
+                chunk_max = max(1, (1 << 22) // O_pad)
                 t0 = _time.perf_counter()
                 carry = carry0
                 cost_init = carry.cost
                 n_done = 0
+                per_iter = None  # measured wall seconds per LM iteration
                 while n_done < iters:
-                    k = min(chunk, iters - n_done)
+                    if cap_seconds > 0:
+                        # A dispatch cannot be preempted, so the cap is
+                        # enforced by sizing each chunk from the MEASURED
+                        # per-iteration wall time (r4's fixed 4-iteration
+                        # chunks overshot a 1 s cap 2.4x at 2M observations;
+                        # r5 directive 7). First chunk is a 1-iteration
+                        # probe that establishes the rate.
+                        remaining = cap_seconds - (_time.perf_counter() - t0)
+                        if remaining <= 0:
+                            # Reference parity: Ceres max_solver_time (1 s,
+                            # ref src/params.h:41) returns best-so-far.
+                            break
+                        k = (1 if per_iter is None
+                             else int(max(1, min(chunk_max,
+                                                 remaining / per_iter))))
+                    else:
+                        k = chunk_max
+                    k = min(k, iters - n_done)
+                    tc = _time.perf_counter()
                     carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg,
                                                    dense_slots=ds,
                                                    cam_red=cam_red0)
-                    n_done += int(k_run)  # sync point bounds the dispatch
+                    ran = int(k_run)  # sync point bounds the dispatch
+                    n_done += ran
+                    if ran > 0:
+                        per_iter = (_time.perf_counter() - tc) / ran
                     if bool(conv):
-                        break
-                    if (cap_seconds > 0
-                            and _time.perf_counter() - t0 > cap_seconds):
-                        # Reference parity: Ceres max_solver_time (1 s cap,
-                        # ref src/params.h:41) returns best-so-far.
                         break
                 flat = np.asarray(_pack_ba_result(
                     carry.prob.pose6, carry.prob.points, jnp.int32(n_done),

@@ -241,11 +241,14 @@ class PoseGraphOptimizer:
     def add_loop_edge(self, a: int, b: int):
         self.loop_edges.append((int(a), int(b)))
 
-    def optimize(self, run_global_ba: bool = True, live: bool = False) -> dict:
+    def optimize(self, run_global_ba: bool = True, live: bool = False,
+                 ba_max_seconds=None) -> dict:
         """`live=True` marks a mid-run (loop-exit) solve on the live loop's
         critical path (ref loop_detector.cpp:146): its global BA is capped
         at cfg.live_ba_max_seconds (Ceres max_solver_time parity, ref
-        src/params.h:41) and the whole stall is logged to live_stall_log."""
+        src/params.h:41) and the whole stall is logged to live_stall_log.
+        `ba_max_seconds` caps the NON-live global BA instead (the finish
+        budget plumbing, r5 directive 8); None = BAConfig default."""
         import time as _time
 
         t_start = _time.perf_counter()
@@ -276,7 +279,9 @@ class PoseGraphOptimizer:
                 and len(self.loop_edges) > self.cfg.live_max_edges):
             # Bound the per-closure measurement cost (cfg.live_max_edges):
             # keep the most recent candidates — a sustained revisit queues
-            # one near-duplicate candidate per frame.
+            # one near-duplicate candidate per frame. The older candidates
+            # are DISCARDED, not deferred: they never reach finish() (their
+            # near-duplicates in the kept tail carry the same constraint).
             self.loop_edges = self.loop_edges[-self.cfg.live_max_edges:]
         if self.loop_matcher is not None and self.loop_edges:
             if hasattr(self.loop_matcher, "batch"):
@@ -359,7 +364,8 @@ class PoseGraphOptimizer:
                 lo = max(0, n - 1 - self.cfg.live_ba_window_frames)
             stats["global_ba"] = self.ba.optimize(
                 lo, n - 1,
-                max_seconds=self.cfg.live_ba_max_seconds if live else None,
+                max_seconds=(self.cfg.live_ba_max_seconds if live
+                             else ba_max_seconds),
             )
         # Phase split of the stall (closure attribution, r4 directive 7):
         # edge measurement / GN solve+writeback / global BA.

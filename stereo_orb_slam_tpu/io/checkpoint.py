@@ -71,10 +71,13 @@ def restore_world(folder: str) -> WorldMap:
 
 def save_npz(path: str, world: WorldMap):
     """Exact binary snapshot (poses, rel poses, points, obs, feature banks)."""
-    assert not getattr(world, "frame_desc_stale", False), (
-        "host frame_desc lags the device banks - call "
-        "SlamSystem.sync_feature_banks() before checkpointing"
-    )
+    if getattr(world, "frame_desc_stale", False):
+        # Hard error (not an assert: `python -O` would strip it and the
+        # checkpoint would silently contain stale/zero descriptor banks).
+        raise RuntimeError(
+            "host frame_desc lags the device banks - call "
+            "SlamSystem.sync_feature_banks() before checkpointing"
+        )
     np.savez_compressed(
         path,
         pose_global=world.pose_global[: world.num_frames],
