@@ -166,16 +166,30 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     cam_red = _seg_sum_cams(cam_rows, prob.obs_cam, C, axis_name, cam_red)
     H_cc = cam_red[:, :36].reshape(-1, 6, 6)             # [C,6,6]
     b_c = -cam_red[:, 36:]                               # [C,6]
-    # Point-side reductions fused into one row per observation (a single
-    # gather-reduce on the dense path instead of two scatters).
-    pt_red = _seg_sum_points(pt_rows, prob.obs_point, P,
-                             None if point_sharded else axis_name,
-                             dense_slots)
+    Wg = None
+    if dense_slots is not None:
+        # ONE fused slot gather for the whole point side: pt_rows (12 cols,
+        # reduced over the K slot axis) and W (18 cols, kept in slot form as
+        # Wg for the dense-Schur assembly + back-substitution). r4's profile
+        # showed three separate [P*K, F] gathers of the SAME slot map at
+        # 3.9 ms/LM-iteration; the per-row sweep cost dominates (an
+        # [640000,3] gather timed the same as [640000,12]), so one 30-col
+        # sweep costs ~one 18-col sweep (r5 directive 3).
+        from stereo_orb_slam_tpu.backend.schur_dense import slot_gather
+
+        sto, _, smask = dense_slots
+        fused = jnp.concatenate([pt_rows, W.reshape(-1, 18)], axis=1)
+        g = slot_gather(fused, sto, smask)               # [P,K,30]
+        pt_red = jnp.sum(g[..., :12], axis=1)
+        Wg = g[..., 12:].reshape(sto.shape[0], -1, 6, 3)
+    else:
+        pt_red = _seg_sum_points(pt_rows, prob.obs_point, P,
+                                 None if point_sharded else axis_name)
     H_pp = pt_red[:, :9].reshape(-1, 3, 3)               # [P,3,3]
     b_p = pt_red[:, 9:]                                  # [P,3]
     if axis_name is not None:
         cost = jax.lax.psum(cost, axis_name)
-    return H_cc, H_pp, W, b_c, b_p, cost
+    return H_cc, H_pp, W, b_c, b_p, cost, Wg
 
 
 def _damp_blocks(H, lam, eps=1e-8):
@@ -294,7 +308,7 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
 def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
               axis_name=None, dense_slots=None, cam_red=None,
-              point_sharded: bool = False):
+              point_sharded: bool = False, Wg=None):
     """Damp, marginalize points (Schur), solve the reduced camera system,
     back-substitute. Returns the PROPOSED (pose6, points) for this lambda.
 
@@ -336,7 +350,7 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
             H_cc_safe, W, Hpp_inv, dense_slots[0], dense_slots[1],
             dense_slots[2], prob.cam_mask,
             dtype=jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32,
-            axis_name=axis_name,
+            axis_name=axis_name, Wg=Wg,
         )
         dc = schur_dense.solve_reduced_chol(S, rhs, prob.cam_mask)
     else:
@@ -354,13 +368,23 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
     dc = dc * prob.cam_mask[:, None]
 
     # Back-substitute points: dp = H_pp^-1 (b_p - W^T dc)
-    u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
-    dp = jnp.einsum(
-        "nij,nj->ni", Hpp_inv,
-        b_p - _seg_sum_points(u, prob.obs_point, b_p.shape[0],
-                              None if point_sharded else axis_name,
-                              dense_slots),
-    )
+    if dense_slots is not None and Wg is not None:
+        # Slot-form reduction: z_p = sum_k Wg[p,k]^T dc[slot_cam[p,k]].
+        # Replaces the [P*K,3] slot gather of u = W^T dc (1.16 ms/iter at
+        # the yardstick, r4 profile) with a gather from the TINY [C,6]
+        # table + an elementwise contraction; Wg's baked slot mask zeroes
+        # padding slots (their slot_cam reads camera 0 harmlessly).
+        dcg = dc[dense_slots[1]]                          # [P,K,6]
+        # Elementwise+reduce instead of einsum: the dot_general form made
+        # XLA materialize dcg twice in different layouts (gather
+        # f32[640000,6] + transposed copy, ~1.7 ms/iter).
+        z = jnp.sum(Wg * dcg[:, :, :, None], axis=(1, 2))
+    else:
+        u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
+        z = _seg_sum_points(u, prob.obs_point, b_p.shape[0],
+                            None if point_sharded else axis_name,
+                            dense_slots)
+    dp = jnp.einsum("nij,nj->ni", Hpp_inv, b_p - z)
     dp = dp * prob.point_mask[:, None]
 
     pose6_new = prob.pose6 + dc
@@ -381,13 +405,13 @@ def lm_step_impl(prob: BAProblem, lam, cfg: BAConfig, axis_name=None,
     the MXU and PCG runs on the explicit S (the windowed fast path; see
     backend/schur_dense.py). Mutually exclusive with `axis_name`.
     """
-    H_cc, H_pp, W, b_c, b_p, cost0 = build_normal_equations(
+    H_cc, H_pp, W, b_c, b_p, cost0, Wg = build_normal_equations(
         prob, cfg.huber_delta, axis_name, dense_slots, cam_red,
         point_sharded,
     )
     pose6_new, points_new = _solve_lm(
         prob, H_cc, H_pp, W, b_c, b_p, lam, cfg, axis_name, dense_slots,
-        cam_red, point_sharded,
+        cam_red, point_sharded, Wg,
     )
 
     cost1 = res_mod.robust_cost(
@@ -426,17 +450,20 @@ class LMCarry(NamedTuple):
     W: jnp.ndarray
     b_c: jnp.ndarray
     b_p: jnp.ndarray
+    # Dense-path only: W in slot form [P,K,6,3] from the fused build gather
+    # (None on the matrix-free/distributed-obs paths).
+    Wg: Optional[jnp.ndarray] = None
 
 
 def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
                  axis_name=None, cam_red=None,
                  point_sharded: bool = False):
-    H_cc, H_pp, W, b_c, b_p, cost = build_normal_equations(
+    H_cc, H_pp, W, b_c, b_p, cost, Wg = build_normal_equations(
         prob, cfg.huber_delta, axis_name, dense_slots, cam_red,
         point_sharded,
     )
     return LMCarry(prob, jnp.float32(cfg.lm_lambda_init), cost,
-                   H_cc, H_pp, W, b_c, b_p)
+                   H_cc, H_pp, W, b_c, b_p, Wg)
 
 
 def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
@@ -455,9 +482,10 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
         carry.lam, cfg, axis_name, dense_slots, cam_red, point_sharded,
+        carry.Wg,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
-    H_cc2, H_pp2, W2, b_c2, b_p2, cost_try = build_normal_equations(
+    H_cc2, H_pp2, W2, b_c2, b_p2, cost_try, Wg2 = build_normal_equations(
         prob_try, cfg.huber_delta, axis_name, dense_slots, cam_red,
         point_sharded,
     )
@@ -478,6 +506,7 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
         H_cc=sel(H_cc2, carry.H_cc), H_pp=sel(H_pp2, carry.H_pp),
         W=sel(W2, carry.W), b_c=sel(b_c2, carry.b_c),
         b_p=sel(b_p2, carry.b_p),
+        Wg=None if Wg2 is None else sel(Wg2, carry.Wg),
     )
     return new_carry, accept, carry.cost, cost_try
 

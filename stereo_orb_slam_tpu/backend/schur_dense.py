@@ -109,15 +109,21 @@ def slot_gather(x, slot_to_obs, slot_mask, sorted_indices: bool = True):
 
 def _chunk_size(P: int, K: int, C: int) -> int:
     """Point-chunk size bounding the [Pc,K,C] one-hot and [3Pc,6C] dense A
-    to ~96 MB each."""
+    to ~96 MB each. Prefers a divisor of P (>= half the power-of-two
+    budget) so the chunk scan needs no pad-concatenate of the slot arrays
+    (profiled 0.38 ms/LM-iteration of pure copy at the r5 yardstick)."""
     budget = 96 * 1024 * 1024 // 4
     pc = min(budget // max(K * C, 1), budget // max(C * 18, 1))
     pc = max(256, 1 << max(int(pc).bit_length() - 1, 0))
+    if P > pc and P % pc:
+        for d in range(pc, pc // 2, -1):
+            if P % d == 0:
+                return d
     return min(P, pc)
 
 
 def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
-                   cam_mask, dtype=jnp.float32, axis_name=None):
+                   cam_mask, dtype=jnp.float32, axis_name=None, Wg=None):
     """Materialize the reduced camera system S = H_cc_safe - W H_pp^-1 W^T
     as [6C, 6C] in IC ORDER: flat index q = i * C + c (parameter i of
     camera c), NOT the (c, i) order of the matrix-free path.
@@ -152,7 +158,10 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
     """
     C = H_cc_safe.shape[0]
     P, K = slot_to_obs.shape
-    Wg = slot_gather(W.reshape(-1, 18), slot_to_obs, slot_mask)
+    if Wg is None:
+        # Standalone use; the LM loop passes Wg from the fused build gather
+        # (ba.build_normal_equations) so W is gathered ONCE per iteration.
+        Wg = slot_gather(W.reshape(-1, 18), slot_to_obs, slot_mask)
     Wg = Wg.reshape(P, K, 6, 3).astype(dtype)
     Hpp_inv = Hpp_inv.astype(dtype)
     Pc = _chunk_size(P, K, C)
@@ -174,10 +183,13 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
         oh = (cam_c[..., None] == cam_range).astype(dtype)        # [Pc,K,C]
         A = jnp.einsum("pkc,pkia->paic", oh, Wg_c,
                        preferred_element_type=dtype)              # [Pc,3,6,C]
-        A2 = A.reshape(Pc * 3, 6 * C)
-        T = jnp.einsum("pab,pbx->pax", Minv_c, A.reshape(Pc, 3, 6 * C),
+        T = jnp.einsum("pab,pbic->paic", Minv_c, A,
                        preferred_element_type=dtype)
-        S_acc = S_acc + jnp.matmul(A2.T, T.reshape(Pc * 3, 6 * C),
+        # Contract (p,a) directly in 4-D: the earlier reshape-to-[3Pc,6C]
+        # matmul forced XLA to materialize layout copies of A and T
+        # (~1.5 ms/LM-iteration at the r5 yardstick — reshape bf16[6144,
+        # 1200] + paired transposes in BA_PROFILE_r05's first cut).
+        S_acc = S_acc + jnp.einsum("paic,pajd->icjd", A, T,
                                    preferred_element_type=jnp.float32)
         return S_acc, None
 
@@ -186,13 +198,13 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
         Wg.reshape(n_chunks, Pc, K, 6, 3),
         Hpp_inv.reshape(n_chunks, Pc, 3, 3),
     )
-    S_sub, _ = jax.lax.scan(body, jnp.zeros((6 * C, 6 * C), jnp.float32),
+    S_sub, _ = jax.lax.scan(body, jnp.zeros((6, C, 6, C), jnp.float32),
                             chunks)
     if axis_name is not None:
         S_sub = lax.psum(S_sub, axis_name)
     idx = jnp.arange(C)
     # Diagonal camera blocks: S[(i1,c),(i2,c)] += H_cc[c,i1,i2].
-    S = (-S_sub.reshape(6, C, 6, C)).at[:, idx, :, idx].add(H_cc_safe)
+    S = (-S_sub).at[:, idx, :, idx].add(H_cc_safe)
     S = S.reshape(6 * C, 6 * C)
     m = jnp.tile(cam_mask, 6)  # ic order: camera index minor
     return S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)

@@ -419,6 +419,10 @@ def sharded_ba_solve_point_aligned(mesh: Mesh, cfg: BAConfig,
     carry_specs = LMCarry(
         prob=prob_specs, lam=rep, cost=rep,
         H_cc=rep, H_pp=sh, W=sh, b_c=rep, b_p=sh,
+        # Slot-form W rides sharded over points on the dense path; on the
+        # matrix-free path (dense_K None) the carry's Wg is None and the
+        # spec must be the matching empty subtree.
+        Wg=sh if dense_K is not None else None,
     )
 
     def solve(prob, max_iters):
