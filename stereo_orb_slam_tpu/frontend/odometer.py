@@ -548,10 +548,24 @@ class VisualOdometer:
         """
         sub = jax.random.fold_in(self._base_key, self._frame_counter)
         self._frame_counter += 1
+        prev = self.prev
+        if prev.desc is None:
+            # Mode switch batched->sequential: in live/BoW batches the
+            # descriptor banks stay device-resident (the packed readback
+            # dropped them), so the host prev mirror carries desc=None. The
+            # device scan carry holds the swapped frame's full slots —
+            # including desc — and its swap semantics are bitwise identical
+            # to the host replay, so borrow desc from there.
+            if self._carry_dev is None:
+                raise RuntimeError(
+                    "prev.desc unavailable: no device carry to recover the "
+                    "previous frame's descriptor bank from")
+            prev = prev._replace(desc=self._carry_dev[0].desc)
+            self.prev = prev
         res = frontend_step_fused(
             jnp.asarray(img_l),
             jnp.asarray(img_r),
-            self.prev,
+            prev,
             jnp.asarray(self.initialized),
             sub,
             self.rig,

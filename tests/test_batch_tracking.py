@@ -273,3 +273,51 @@ def test_slam_process_batch_ate():
     assert w.num_frames == n
     ate = evaluate.ate_rmse(w.pose_global[: w.num_frames], traj)
     assert ate < 0.15, f"batched SLAM ATE {ate:.3f} m"
+
+
+def test_bow_batch_then_sequential_remainder(rng):
+    """Mode switch batched->sequential mid-run (the endurance harness's
+    remainder frames, frames % batch != 0): in live/BoW batches the packed
+    readback drops descriptors (device-resident banks), so the host prev
+    mirror has desc=None — the sequential track() must recover the swapped
+    frame's descriptors from the device scan carry and reproduce the fully
+    sequential trajectory exactly (r5 regression: AttributeError on
+    prev.desc in ops/match)."""
+    from stereo_orb_slam_tpu.apps.slam import SlamSystem
+
+    n = 16
+    traj, scene, seq = _make_seq(n)
+    corpus = rng.integers(0, 2 ** 32, (4096, 8), dtype=np.uint32)
+    vocab = OrbVocabulary.train(corpus, num_words=128, iterations=3)
+    cfg = SlamConfig().replace(
+        frontend=FE, ransac=RC, per_frame_ba=False,
+        refine_interval=10 ** 6, batch_frames=4,
+        loop=LoopConfig(vocab_words=128, database_capacity=8,
+                        distant_frame_thresh=6, adjacent_frame_thresh=2),
+    )
+
+    s1 = SlamSystem(scene.make_rig(), cfg, vocab=vocab)
+    for il, ir in seq:
+        s1.process(il, ir)
+
+    s2 = SlamSystem(scene.make_rig(), cfg, vocab=vocab)
+    for s in range(0, 12, 4):
+        s2.process_batch(
+            np.stack([seq[i][0] for i in range(s, s + 4)]),
+            np.stack([seq[i][1] for i in range(s, s + 4)]),
+        )
+    for i in range(12, n):  # remainder frames through the sequential path
+        s2.process(*seq[i])
+    s2.flush()
+
+    assert s1.loop.db_size == s2.loop.db_size == n
+    assert np.allclose(s1.loop.probabilities, s2.loop.probabilities,
+                       atol=1e-6)
+    np.testing.assert_array_equal(
+        s1.world.pose_global[: s1.world.num_frames],
+        s2.world.pose_global[: s2.world.num_frames],
+    )
+    np.testing.assert_array_equal(
+        s1.world.frame_desc[: s1.world.num_frames],
+        s2.world.frame_desc[: s2.world.num_frames],
+    )
