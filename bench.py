@@ -274,6 +274,51 @@ def bench_ba(n_warm=2, n_iter=10, C=200, P=20000, obs_per_cam=600):
              "mfu_executed_vs_f32_peak_49T": round(flops_iter * it_s / 49e12, 4),
              "mfu_useful_sparse_schur": round(flops_iter_useful * it_s / 49e12,
                                               4)}
+
+    # SECOND yardstick (r5): same C/P but REALISTIC track structure —
+    # point p observed by <=12 CONSECUTIVE cameras starting at p*C/P
+    # (what world.ba_problem produces on a drive). Camera locality makes
+    # the BANDED Schur assembly feasible (schur_dense.band_plan), the
+    # production default; the random-assignment problem above is
+    # band-infeasible by construction and keeps the historical number.
+    tlen = np.minimum(rng.integers(1, 13, P),
+                      C - (np.arange(P, dtype=np.int64) * C // P))
+    lp = np.repeat(np.arange(P, dtype=np.int32), tlen)
+    lc = (np.repeat((np.arange(P, dtype=np.int64) * C // P).astype(np.int32),
+                    tlen)
+          + np.concatenate([np.arange(t) for t in tlen]).astype(np.int32))
+    Ol = len(lp)
+    Xh = np.concatenate([pts[lp], np.ones((Ol, 1), np.float32)], 1)
+    uv_l = (Xh @ P_l.T)
+    uv_r = (Xh @ P_r.T)
+    uv4 = np.concatenate([uv_l[:, :2] / np.maximum(uv_l[:, 2:3], 1e-6),
+                          uv_r[:, :2] / np.maximum(uv_r[:, 2:3], 1e-6)], 1)
+    uv4 = (uv4 + rng.normal(0, 0.5, uv4.shape)).astype(np.float32)
+    prob_l = prob._replace(
+        obs_cam=jnp.asarray(lc), obs_point=jnp.asarray(lp),
+        obs_uv=jnp.asarray(uv4), obs_weight=jnp.ones(Ol, jnp.float32),
+    )
+    sto2, scam2, smask2, K2 = schur_dense.group_slots(lp, lc, P, Ol)
+    slots2 = (jnp.asarray(sto2), jnp.asarray(scam2), jnp.asarray(smask2))
+    cam_K2 = 1 << (int(np.bincount(lc).max()) - 1).bit_length()
+    plan = schur_dense.band_plan(lp, lc, P, Ol, C, K2)
+    bb = None if plan is None else jnp.asarray(plan[0])
+
+    def it_local(i):
+        c2, *_ = ba_solve(prob_l, jnp.int32(chain), cfg_bench,
+                          dense_slots=slots2, cam_K=cam_K2,
+                          band_bases=bb,
+                          band_B=None if plan is None else plan[1],
+                          band_Pc=None if plan is None else plan[2])
+        return c2.prob.pose6
+
+    _ = it_local(0)
+    total_l = sync_min(it_local, n_iter)
+    shape["tracklocal"] = {
+        "O": Ol, "band_B": None if plan is None else plan[1],
+        "lm_iterations_per_sec": round(
+            chain / max(total_l - rtt, 1e-5), 2),
+    }
     return it_s, shape
 
 

@@ -44,18 +44,34 @@ from stereo_orb_slam_tpu.backend.ba import (  # noqa: E402
 from stereo_orb_slam_tpu.config import BAConfig  # noqa: E402
 
 
-def make_problem(C, P, obs_per_cam, rng):
+def make_problem(C, P, obs_per_cam, rng, local=0):
+    """local=0: the historical yardstick — every observation assigned to a
+    UNIFORM RANDOM point, so a point's cameras span the whole window (no
+    locality; the banded Schur assembly is infeasible by construction).
+    local=L: REALISTIC track structure — point p is born at camera
+    floor(p*C/P) and observed by 1..L consecutive cameras, exactly the
+    pattern world.ba_problem produces on a drive (tracks over consecutive
+    frames). Same noise model either way."""
     fx, cx, cy, b = 718.856, 607.1928, 185.2157, 0.5371657
     P_l = np.array([[fx, 0, cx, 0], [0, fx, cy, 0], [0, 0, 1, 0]], np.float32)
     P_r = P_l.copy()
     P_r[0, 3] = -fx * b
-    O = C * obs_per_cam
     pts = np.stack(
         [rng.uniform(-20, 20, P), rng.uniform(-5, 5, P), rng.uniform(5, 60, P)], 1
     ).astype(np.float32)
     pose6 = rng.normal(0, 0.01, (C, 6)).astype(np.float32)
-    obs_cam = np.repeat(np.arange(C, dtype=np.int32), obs_per_cam)
-    obs_point = rng.integers(0, P, O).astype(np.int32)
+    if local > 0:
+        c0 = (np.arange(P, dtype=np.int64) * C // P).astype(np.int32)
+        tlen = rng.integers(1, local + 1, P)
+        tlen = np.minimum(tlen, C - c0)
+        obs_point = np.repeat(np.arange(P, dtype=np.int32), tlen)
+        offs = np.concatenate([np.arange(t) for t in tlen]).astype(np.int32)
+        obs_cam = (np.repeat(c0, tlen) + offs).astype(np.int32)
+        O = len(obs_point)
+    else:
+        O = C * obs_per_cam
+        obs_cam = np.repeat(np.arange(C, dtype=np.int32), obs_per_cam)
+        obs_point = rng.integers(0, P, O).astype(np.int32)
     order = np.argsort(obs_point, kind="stable")
     obs_point, obs_cam = obs_point[order], obs_cam[order]
     X = pts[obs_point]
@@ -79,7 +95,8 @@ def make_problem(C, P, obs_per_cam, rng):
     K = sto.shape[1]  # R-aligned slot-map width (executed shape)
     slots = (jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask))
     cam_K = 1 << (int(np.bincount(obs_cam).max()) - 1).bit_length()
-    return prob, slots, K, cam_K
+    band = schur_dense.band_plan(obs_point, obs_cam, P, O, C, K)
+    return prob, slots, K, cam_K, O, band
 
 
 def main():
@@ -91,16 +108,30 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--trace_dir", default="/tmp/ba_profile_trace")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--local", type=int, default=0,
+                    help="track length L: realistic consecutive-camera "
+                         "observation structure (0 = historical random-"
+                         "assignment yardstick)")
+    ap.add_argument("--no_banded", action="store_true",
+                    help="force the dense expansion even when the banded "
+                         "plan is feasible (A/B measurement)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    prob, slots, K, cam_K = make_problem(args.C, args.P, args.obs_per_cam, rng)
+    prob, slots, K, cam_K, O, band = make_problem(
+        args.C, args.P, args.obs_per_cam, rng, local=args.local)
     C, P = args.C, args.P
-    O = args.C * args.obs_per_cam
+    if args.no_banded:
+        band = None
+    band_bases = None if band is None else jnp.asarray(band[0])
+    band_B = None if band is None else band[1]
+    band_Pc = None if band is None else band[2]
     cfg = BAConfig(function_tolerance=0.0)
     chain = args.chain
 
-    carry, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
+    carry, n_it, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots,
+                              cam_K=cam_K, band_bases=band_bases,
+                              band_B=band_B, band_Pc=band_Pc)
     jax.block_until_ready(carry.prob.pose6)
     assert int(n_it) == chain
 
@@ -121,15 +152,20 @@ def main():
     rtt = tmin(lambda: noop(zz), max(8, args.iters))
     t_solve = tmin(
         lambda: ba_solve(prob, jnp.int32(chain), cfg,
-                         dense_slots=slots, cam_K=cam_K)[0].prob.pose6,
+                         dense_slots=slots, cam_K=cam_K,
+                         band_bases=band_bases,
+                         band_B=band_B,
+                         band_Pc=band_Pc)[0].prob.pose6,
         args.iters,
     ) - rtt
     it_ms = t_solve / chain * 1e3
 
     # ---- trace + HLO source attribution -----------------------------------
     lowered = jax.jit(ba_solve_impl,
-                      static_argnames=("cfg", "cam_K")).lower(
-        prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
+                      static_argnames=("cfg", "cam_K", "band_B",
+                                       "band_Pc")).lower(
+        prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K,
+        band_bases=band_bases, band_B=band_B, band_Pc=band_Pc)
     hlo = lowered.compile().as_text()
     srcmap = {}
     for m in re.finditer(
@@ -152,7 +188,9 @@ def main():
         opmap[m.group(1)] = f"{path} {shape}"
 
     jax.profiler.start_trace(args.trace_dir)
-    carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots, cam_K=cam_K)
+    carry, _, _ = ba_solve(prob, jnp.int32(chain), cfg, dense_slots=slots,
+                           cam_K=cam_K, band_bases=band_bases,
+                           band_B=band_B, band_Pc=band_Pc)
     jax.block_until_ready(carry.prob.pose6)
     jax.profiler.stop_trace()
 
@@ -185,7 +223,8 @@ def main():
 
     # ---- FLOP model --------------------------------------------------------
     P_pad = int(slots[0].shape[0])
-    flops_assemble = 2 * (3 * P_pad) * (6 * C) ** 2 + 2 * P_pad * K * C * 18
+    Bw = band_B if band_B is not None else C
+    flops_assemble = 2 * (3 * P_pad) * (6 * Bw) ** 2 + 2 * P_pad * K * Bw * 18
     flops_chol = (6 * C) ** 3 // 3 + 2 * (6 * C) ** 2
     flops_build = O * (500 + 2 * (36 * 4 + 18 * 4 + 24 + 12)) + P_pad * K * 12
     flops_iter = flops_assemble + flops_chol + flops_build
@@ -193,7 +232,11 @@ def main():
 
     result = {
         "what": "whole-solve BA timing + trace-attributed device profile",
-        "problem": {"C": C, "P": P, "O": O, "K_slots": K, "P_pad": P_pad},
+        "problem": {"C": C, "P": P, "O": O, "K_slots": K, "P_pad": P_pad,
+                    "local_track_len": args.local,
+                    "band_B": band_B,
+                    "band_chunks": (None if band is None
+                                    else int(len(band[0])))},
         "rtt_ms": round(rtt * 1e3, 2),
         "lm_iteration_ms": round(it_ms, 3),
         "lm_iterations_per_sec": round(it_s, 2),

@@ -308,7 +308,7 @@ def pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
 def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
               axis_name=None, dense_slots=None, cam_red=None,
-              point_sharded: bool = False, Wg=None):
+              point_sharded: bool = False, Wg=None, band=None):
     """Damp, marginalize points (Schur), solve the reduced camera system,
     back-substitute. Returns the PROPOSED (pose6, points) for this lambda.
 
@@ -346,12 +346,20 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
         assert axis_name is None or point_sharded, (
             "dense_slots under shard_map requires the point-aligned layout"
         )
-        S = schur_dense.assemble_schur(
-            H_cc_safe, W, Hpp_inv, dense_slots[0], dense_slots[1],
-            dense_slots[2], prob.cam_mask,
-            dtype=jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32,
-            axis_name=axis_name, Wg=Wg,
-        )
+        dt = jnp.bfloat16 if cfg.dense_assemble_bf16 else jnp.float32
+        if band is not None and Wg is not None and axis_name is None:
+            # Banded fast path (see schur_dense.band_plan): local-width
+            # expansion per point chunk; feasibility proven on host.
+            S = schur_dense.assemble_schur_banded(
+                H_cc_safe, Hpp_inv, dense_slots[1], dense_slots[2],
+                prob.cam_mask, Wg, band[0], band[1], band[2], dtype=dt,
+            )
+        else:
+            S = schur_dense.assemble_schur(
+                H_cc_safe, W, Hpp_inv, dense_slots[0], dense_slots[1],
+                dense_slots[2], prob.cam_mask,
+                dtype=dt, axis_name=axis_name, Wg=Wg,
+            )
         dc = schur_dense.solve_reduced_chol(S, rhs, prob.cam_mask)
     else:
         # Preconditioner: inverse of damped camera diagonal blocks (fixed
@@ -468,7 +476,7 @@ def lm_init_impl(prob: BAProblem, cfg: BAConfig, dense_slots=None,
 
 def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
                       axis_name=None, cam_red=None,
-                      point_sharded: bool = False):
+                      point_sharded: bool = False, band=None):
     """One evaluate-once LM iteration (single-device fast path).
 
     Returns (new_carry, accepted, cost_before, cost_after). The accept
@@ -482,7 +490,7 @@ def lm_iteration_impl(carry: LMCarry, cfg: BAConfig, dense_slots=None,
     pose6_new, points_new = _solve_lm(
         prob, carry.H_cc, carry.H_pp, carry.W, carry.b_c, carry.b_p,
         carry.lam, cfg, axis_name, dense_slots, cam_red, point_sharded,
-        carry.Wg,
+        carry.Wg, band,
     )
     prob_try = prob._replace(pose6=pose6_new, points=points_new)
     H_cc2, H_pp2, W2, b_c2, b_p2, cost_try, Wg2 = build_normal_equations(
@@ -547,7 +555,8 @@ def build_slots_device(obs_point, obs_cam, obs_weight, n_points_pad: int,
 
 def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
                   dense_slots=None, axis_name=None, dense_K=None,
-                  point_sharded: bool = False, cam_K=None):
+                  point_sharded: bool = False, cam_K=None,
+                  band_bases=None, band_B=None, band_Pc=None):
     """Full LM solve in ONE device program: init + `lax.while_loop` over
     evaluate-once iterations with the reference's convergence exit (relative
     cost decrease < function_tolerance on an accepted step, the Ceres
@@ -588,6 +597,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
             cam_red = build_cam_slots_device(
                 prob.obs_cam, prob.obs_weight, C, cam_K,
             )
+    band = (None if band_bases is None or band_B is None
+            else (band_bases, band_B, band_Pc))
     carry0 = lm_init_impl(prob, cfg, dense_slots, axis_name, cam_red,
                           point_sharded)
     cost_init = carry0.cost
@@ -602,7 +613,8 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
                                                         dense_slots,
                                                         axis_name,
                                                         cam_red,
-                                                        point_sharded)
+                                                        point_sharded,
+                                                        band)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
         )
@@ -616,12 +628,14 @@ def ba_solve_impl(prob: BAProblem, max_iters, cfg: BAConfig,
 
 ba_solve = jax.jit(ba_solve_impl,
                    static_argnames=("cfg", "axis_name", "dense_K",
-                                    "point_sharded", "cam_K"))
+                                    "point_sharded", "cam_K", "band_B",
+                                    "band_Pc"))
 
 
 def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
                    dense_slots=None, axis_name=None,
-                   point_sharded: bool = False, cam_red=None):
+                   point_sharded: bool = False, cam_red=None,
+                   band_bases=None, band_B=None, band_Pc=None):
     """Continue an LM solve from an existing carry for up to `max_iters`
     more evaluate-once iterations (same loop as ba_solve_impl).
 
@@ -638,11 +652,14 @@ def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
         _, it, converged = state
         return (it < max_iters) & ~converged
 
+    band = (None if band_bases is None or band_B is None
+            else (band_bases, band_B, band_Pc))
+
     def body(state):
         c, it, _ = state
         new_c, accepted, c0, c1 = lm_iteration_impl(c, cfg, dense_slots,
                                                     axis_name, cam_red,
-                                                    point_sharded)
+                                                    point_sharded, band)
         converged = accepted & (c0 > 0) & (
             (c0 - c1) < cfg.function_tolerance * c0
         )
@@ -655,7 +672,8 @@ def ba_resume_impl(carry: LMCarry, max_iters, cfg: BAConfig,
 
 
 ba_resume = jax.jit(ba_resume_impl,
-                    static_argnames=("cfg", "axis_name", "point_sharded"))
+                    static_argnames=("cfg", "axis_name", "point_sharded",
+                                     "band_B", "band_Pc"))
 
 # Device-side slot-map builders as standalone jits (the CHUNKED solve path
 # derives the maps once and threads them through every ba_resume dispatch).
@@ -824,6 +842,9 @@ class BundleAdjuster:
         # (uploading them cost more than the solve on the relay transport).
         dense_K = None
         cam_K = None
+        band_bases = None
+        band_B = None
+        band_Pc = None
         if C_pad <= cfg.dense_schur_max_cams:
             from stereo_orb_slam_tpu.backend.schur_dense import slot_width
 
@@ -841,6 +862,15 @@ class BundleAdjuster:
                 Kc = 1 << (max(kcam, 2) - 1).bit_length()
                 if C_pad * Kc <= 4 * O_pad:
                     cam_K = Kc
+            if dense_K is not None and cfg.banded_schur:
+                from stereo_orb_slam_tpu.backend.schur_dense import band_plan
+
+                plan = band_plan(s_point, s_cam, P_pad, n_obs, C_pad,
+                                 K=dense_K, max_width=cfg.banded_max_width)
+                if plan is not None:
+                    band_bases = jnp.asarray(plan[0])
+                    band_B = plan[1]
+                    band_Pc = plan[2]
 
         iters = max_iterations or cfg.max_iterations
         # Entire LM schedule in one device program — a single host sync per
@@ -935,7 +965,10 @@ class BundleAdjuster:
                     tc = _time.perf_counter()
                     carry, k_run, conv = ba_resume(carry, jnp.int32(k), cfg,
                                                    dense_slots=ds,
-                                                   cam_red=cam_red0)
+                                                   cam_red=cam_red0,
+                                                   band_bases=band_bases,
+                                                   band_B=band_B,
+                                                   band_Pc=band_Pc)
                     ran = int(k_run)  # sync point bounds the dispatch
                     n_done += ran
                     if ran > 0:
@@ -951,7 +984,8 @@ class BundleAdjuster:
             return finish_chunked
 
         carry, n_iters, cost_init = ba_solve(
-            prob, jnp.int32(iters), cfg, dense_K=dense_K, cam_K=cam_K
+            prob, jnp.int32(iters), cfg, dense_K=dense_K, cam_K=cam_K,
+            band_bases=band_bases, band_B=band_B, band_Pc=band_Pc,
         )
 
         # ONE consolidated readback: in the relay's synchronous mode every

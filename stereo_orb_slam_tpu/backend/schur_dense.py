@@ -210,6 +210,140 @@ def assemble_schur(H_cc_safe, W, Hpp_inv, slot_to_obs, slot_cam, slot_mask,
     return S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
 
 
+def band_plan(obs_point, obs_cam, n_points_pad: int, n_obs: int, C: int,
+              K: int, max_width: int = 128):
+    """Host-side feasibility plan for the BANDED Schur assembly.
+
+    Real SLAM points are observed by a NARROW CONTIGUOUS camera range (a
+    track over consecutive frames), and point ids grow in frame order, so
+    a point chunk's observations span a small camera window. The banded
+    assembly exploits that: per chunk, expand into a LOCAL band
+    [Pc,3,6,B] at the chunk's base camera instead of the full [Pc,3,6,C]
+    — the reduced-system contraction shrinks by (B/C)^2 in flops (the
+    dense path executes ~190x the flops an ideal sparse Schur needs;
+    r5 directive 4 / ref SPARSE_SCHUR src/bundle_adjuster.cpp:24).
+
+    Returns (bases [G] int32, B, Pc) when every chunk's camera span fits a
+    band of pow2 width B <= min(max_width, C/2); None otherwise (e.g.
+    loop-closure points observed from distant cameras — those problems
+    keep the dense expansion, which is always correct).
+
+    REQUIRES obs_point sorted ascending (the BundleAdjuster layout).
+    """
+    obs_point = np.asarray(obs_point)
+    obs_cam = np.asarray(obs_cam)
+    if n_obs == 0:
+        return None
+    cmin = np.full(n_points_pad, np.iinfo(np.int32).max, np.int64)
+    cmax = np.full(n_points_pad, -1, np.int64)
+    np.minimum.at(cmin, obs_point[:n_obs], obs_cam[:n_obs])
+    np.maximum.at(cmax, obs_point[:n_obs], obs_cam[:n_obs])
+    span = int((cmax - np.where(cmax >= 0, cmin, 0)).max(initial=0)) + 1
+    cap = min(max_width, max(C // 2, 1))
+
+    def chunk_plan(B, Pc):
+        G = (n_points_pad + Pc - 1) // Pc
+        bases = np.zeros(G, np.int32)
+        for g in range(G):
+            lo, hi = g * Pc, min((g + 1) * Pc, n_points_pad)
+            real = cmax[lo:hi] >= 0
+            if not real.any():
+                continue
+            b0 = int(cmin[lo:hi][real].min())
+            if int(cmax[lo:hi][real].max()) - b0 + 1 > B:
+                return None
+            bases[g] = b0
+        return np.minimum(bases, max(C - B, 0)).astype(np.int32)
+
+    # For each candidate band width take the LARGEST pow2 chunk whose
+    # per-chunk camera span still fits (the [Pc,K,B] expansion memory
+    # budget caps Pc from above), then pick the width minimizing a simple
+    # cost model: per-chunk scan-step overhead (~40 us of tiny-op latency,
+    # measured: B=16 with 79 chunks ran BARELY faster than dense while
+    # B=32 with 10 chunks carries the same flops in 1/8 the steps) plus
+    # the (6B)^2 contraction flops. Unlike the dense path, the chunk size
+    # here is a locality choice, so it is passed explicitly to
+    # assemble_schur_banded rather than re-derived.
+    budget = 96 * 1024 * 1024 // 4
+    B = 1 << (max(span, 2) - 1).bit_length()
+    best = None
+    best_score = float("inf")
+    while B <= cap:
+        pc_mem = max(256, 1 << max(int(
+            budget // max(K * B, B * 18, 1)).bit_length() - 1, 0))
+        Pc = min(1 << (n_points_pad - 1).bit_length(), pc_mem)
+        while Pc >= 256:
+            bases = chunk_plan(B, Pc)
+            if bases is not None:
+                G = len(bases)
+                score = G * 40e-6 + (72 * n_points_pad * B * B) / 100e12
+                if score < best_score:
+                    best, best_score = (bases, B, Pc), score
+                break
+            Pc //= 2
+        B *= 2
+    return best
+
+
+def assemble_schur_banded(H_cc_safe, Hpp_inv, slot_cam, slot_mask, cam_mask,
+                          Wg, bases, B: int, Pc: int, dtype=jnp.float32):
+    """Banded variant of assemble_schur: per point chunk, the one-hot
+    expansion and the (p,a) contraction run at LOCAL band width B (camera
+    columns [base, base+B) of that chunk) and the [6,B,6,B] band is added
+    into S at the chunk's base offset. Identical math to the dense path
+    whenever band_plan() declared feasibility (every slot's camera lies in
+    its chunk's band); padding slots have Wg == 0 so their out-of-band
+    local index contributes nothing either way.
+
+    Single-device only (the distributed dense path keeps the full
+    expansion — a psum of S is band-structure-oblivious anyway).
+    """
+    C = H_cc_safe.shape[0]
+    P, K = slot_cam.shape
+    G = (P + Pc - 1) // Pc
+    assert G == bases.shape[0], (G, bases.shape)
+    Wg = Wg.reshape(P, K, 6, 3).astype(dtype)
+    Hpp_inv = Hpp_inv.astype(dtype)
+    if P % Pc:
+        extra = Pc - P % Pc
+        Wg = jnp.concatenate([Wg, jnp.zeros((extra, K, 6, 3), Wg.dtype)])
+        slot_cam = jnp.concatenate(
+            [slot_cam, jnp.zeros((extra, K), slot_cam.dtype)])
+        Hpp_inv = jnp.concatenate(
+            [Hpp_inv, jnp.zeros((extra, 3, 3), Hpp_inv.dtype)])
+        P += extra
+    local_range = jnp.arange(B, dtype=slot_cam.dtype)
+
+    def body(S_acc, chunk):
+        base, cam_c, Wg_c, Minv_c = chunk
+        lc = cam_c - base                                         # [Pc,K]
+        oh = (lc[..., None] == local_range).astype(dtype)         # [Pc,K,B]
+        A = jnp.einsum("pkc,pkia->paic", oh, Wg_c,
+                       preferred_element_type=dtype)              # [Pc,3,6,B]
+        T = jnp.einsum("pab,pbic->paic", Minv_c, A,
+                       preferred_element_type=dtype)
+        band = jnp.einsum("paic,pajd->icjd", A, T,
+                          preferred_element_type=jnp.float32)     # [6,B,6,B]
+        sl = lax.dynamic_slice(S_acc, (0, base, 0, base), (6, B, 6, B))
+        S_acc = lax.dynamic_update_slice(S_acc, sl + band,
+                                         (0, base, 0, base))
+        return S_acc, None
+
+    chunks = (
+        bases,
+        slot_cam.reshape(G, Pc, K),
+        Wg.reshape(G, Pc, K, 6, 3),
+        Hpp_inv.reshape(G, Pc, 3, 3),
+    )
+    S_sub, _ = jax.lax.scan(body, jnp.zeros((6, C, 6, C), jnp.float32),
+                            chunks)
+    idx = jnp.arange(C)
+    S = (-S_sub).at[:, idx, :, idx].add(H_cc_safe)
+    S = S.reshape(6 * C, 6 * C)
+    m = jnp.tile(cam_mask, 6)
+    return S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+
+
 def solve_reduced_chol(S_ic, b_c, cam_mask):
     """Direct solve of the IC-ordered reduced system by Cholesky.
 

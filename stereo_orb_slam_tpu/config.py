@@ -140,6 +140,15 @@ class BAConfig:
     # ~1e-1 where f32+Cholesky reaches ~0 on the recovery test), so f32 is
     # the default; flip on only for throughput-over-precision experiments.
     dense_assemble_bf16: bool = False
+    # BANDED Schur assembly (schur_dense.band_plan/assemble_schur_banded):
+    # when every point chunk's camera span fits a band of width
+    # <= banded_max_width, the one-hot expansion and reduced-system
+    # contraction run at band width B instead of full C — (B/C)^2 of the
+    # dense flops. Feasibility is proven per problem on the host; problems
+    # with loop-distant observations automatically fall back to the dense
+    # expansion. Exact same math when feasible.
+    banded_schur: bool = True
+    banded_max_width: int = 128
 
 
 @dataclass(frozen=True)

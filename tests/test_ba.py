@@ -456,3 +456,62 @@ def test_ba_resume_chunks_match_single_dispatch(rng):
     np.testing.assert_allclose(float(cost0_b), float(cost0_a), rtol=1e-6)
     np.testing.assert_allclose(float(carry.cost), float(carry_a.cost),
                                rtol=1e-5)
+
+
+def test_banded_schur_matches_dense(rng):
+    """Banded assembly (band_plan feasible on a track-local problem) must
+    reproduce the dense expansion's solve: same accept path, near-identical
+    parameters (same math, different accumulation grouping)."""
+    from stereo_orb_slam_tpu.backend import schur_dense
+    from stereo_orb_slam_tpu.backend.ba import BAProblem, ba_solve
+
+    C, P = 64, 8192
+    fx, cx, cy, b = 240.0, 160.0, 120.0, 0.6
+    P_l = np.array([[fx, 0, cx, 0], [0, fx, cy, 0], [0, 0, 1, 0]],
+                   np.float32)
+    P_r = P_l.copy()
+    P_r[0, 3] = -fx * b
+    pts = np.stack([rng.uniform(-10, 10, P), rng.uniform(-4, 4, P),
+                    rng.uniform(4, 30, P)], 1).astype(np.float32)
+    pose6 = rng.normal(0, 0.005, (C, 6)).astype(np.float32)
+    c0 = (np.arange(P, dtype=np.int64) * C // P).astype(np.int32)
+    tlen = rng.integers(1, 7, P)
+    tlen = np.minimum(tlen, C - c0)
+    obs_point = np.repeat(np.arange(P, dtype=np.int32), tlen)
+    offs = np.concatenate([np.arange(t) for t in tlen]).astype(np.int32)
+    obs_cam = (np.repeat(c0, tlen) + offs).astype(np.int32)
+    O = len(obs_point)
+    Xh = np.concatenate([pts[obs_point], np.ones((O, 1), np.float32)], 1)
+
+    def proj(Pm):
+        uvw = Xh @ Pm.T
+        return uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+
+    obs_uv = np.concatenate([proj(P_l), proj(P_r)], 1).astype(np.float32)
+    obs_uv += rng.normal(0, 0.5, obs_uv.shape).astype(np.float32)
+    prob = BAProblem(
+        pose6=jnp.asarray(pose6), points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam), obs_point=jnp.asarray(obs_point),
+        obs_uv=jnp.asarray(obs_uv), obs_weight=jnp.ones(O, jnp.float32),
+        cam_mask=jnp.asarray([0.0] + [1.0] * (C - 1), jnp.float32),
+        point_mask=jnp.ones(P, jnp.float32),
+        P_l=jnp.asarray(P_l), P_r=jnp.asarray(P_r),
+    )
+    sto, scam, smask, K = schur_dense.group_slots(obs_point, obs_cam, P, O)
+    slots = (jnp.asarray(sto), jnp.asarray(scam), jnp.asarray(smask))
+    plan = schur_dense.band_plan(obs_point, obs_cam, P, O, C, K)
+    assert plan is not None, "track-local problem must be band-feasible"
+    bases, B, Pc = plan
+    assert B < C  # the band actually narrows the expansion
+
+    cfg = BAConfig()
+    cd, itd, _ = ba_solve(prob, jnp.int32(5), cfg, dense_slots=slots)
+    cb, itb, _ = ba_solve(prob, jnp.int32(5), cfg, dense_slots=slots,
+                          band_bases=jnp.asarray(bases), band_B=B,
+                          band_Pc=Pc)
+    assert int(itd) == int(itb)
+    np.testing.assert_allclose(np.asarray(cd.prob.pose6),
+                               np.asarray(cb.prob.pose6), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cd.prob.points),
+                               np.asarray(cb.prob.points), atol=1e-3)
+    np.testing.assert_allclose(float(cd.cost), float(cb.cost), rtol=1e-4)
