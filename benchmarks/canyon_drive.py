@@ -103,6 +103,12 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="fast smoke configuration (CPU CI): 192 frames, "
                          "320x480, 384 features, batch 8")
+    ap.add_argument("--no_preload_device", action="store_true",
+                    help="feed frames through the per-batch relay upload "
+                         "instead of staging them in HBM first; the "
+                         "~38 MB/s link then caps the drive at ~40 fps "
+                         "regardless of compute (recorded as "
+                         "transport_floor_fps in the JSON)")
     ap.add_argument("--finish_seconds", type=float, default=60.0,
                     help="declared finish-stage wall budget forwarded to "
                          "the CLI (r5 directive 8); 0 = uncapped")
@@ -154,6 +160,8 @@ def main():
            "--ransac_refit",
            "--finish_seconds", str(args.finish_seconds),
            "--gt", gt_path]
+    if not args.no_preload_device:
+        cli.append("--preload_device")
 
     def run_cli():
         buf = io.StringIO()
@@ -205,6 +213,7 @@ def main():
         "batch_frames": args.batch,
         "noise_sigma": args.noise,
         "render_seconds": round(t_render, 1),
+        "frames_device_resident": not args.no_preload_device,
         "warm_pass_seconds": round(t_warm, 1),
         "live_fps": live_fps,
         "total_seconds_timed_pass": round(t_total, 1),

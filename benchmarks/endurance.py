@@ -79,6 +79,13 @@ class TriangleSceneReader:
             yield self.frame(i)
 
 
+def _group_by(items, key):
+    out = {}
+    for x in items:
+        out.setdefault(key(x), []).append(x)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2048)
@@ -104,9 +111,28 @@ def main():
                     help="also record ATE after finish budgets of "
                          "1/10/30/uncapped seconds (restores world state "
                          "between runs; adds minutes)")
-    ap.add_argument("--warm_frames", type=int, default=96,
+    ap.add_argument("--warm_frames", type=int, default=160,
                     help="throwaway warm drive length before the timed run "
                          "(0 disables); populates jit caches off the clock")
+    ap.add_argument("--warm_period", type=int, default=96,
+                    help="triangle period of the WARM drive: short enough "
+                         "that a full loop episode (enter + exit + capped "
+                         "closure BA) fires inside the warm frames, so the "
+                         "closure-path programs AND the at-scale window-BA "
+                         "buckets load off the clock (r5: they cost "
+                         "~25 s of one-time in-process loads inside the "
+                         "timed run's first two windows otherwise)")
+    ap.add_argument("--device_frames", action="store_true",
+                    help="stage the scene texture on device ONCE and slice "
+                         "each batch's frames device-side. Models the "
+                         "reference's locally-attached image source (disk/"
+                         "RAM at GB/s, ref slam.cpp:112-113 cv::imread): "
+                         "through the remote relay, uploading raw frames "
+                         "costs ~0.93 MB/frame against a measured ~38 MB/s "
+                         "link — a ~40 fps transport ceiling no SLAM "
+                         "improvement can cross. Default (off) keeps the "
+                         "full upload in the measurement and records the "
+                         "measured transport floor alongside.")
     args = ap.parse_args()
     db_capacity = args.db_capacity or max(
         8192, 1 << (args.frames - 1).bit_length())
@@ -122,8 +148,10 @@ def main():
     # Count XLA compiles via the jax_log_compiles logger: after warm-up the
     # count must stop growing (shape-bucket leaks would recompile forever).
     compile_count = [0]
+    cache_hits = [0]
     cur_frame = [0]          # frame index the live loop is at (for logs)
     compile_log = []         # (frame_index, HLO module name) per compile
+    hit_frames = []          # frame index per persistent-cache HIT
 
     class _H(logging.Handler):
         def emit(self, record):
@@ -133,10 +161,17 @@ def main():
                 # Record WHICH module compiled and when, so post-warm-up
                 # compiles are attributable (r5 directive 6).
                 compile_log.append((cur_frame[0], msg[:160]))
+            elif "Persistent compilation cache hit" in msg:
+                # A "Compiling" line followed by a cache hit is a LOAD
+                # (deserialize, ~0.1-1 s), not a fresh XLA compile
+                # (tens of seconds) — split the two in the report.
+                cache_hits[0] += 1
+                hit_frames.append(cur_frame[0])
 
     handler = _H()
     jax.config.update("jax_log_compiles", True)
-    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla"):
+    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla",
+                 "jax._src.compiler"):
         lg = logging.getLogger(name)
         lg.addHandler(handler)
         lg.propagate = False  # count, don't spam stderr
@@ -154,14 +189,16 @@ def main():
 
     from stereo_orb_slam_tpu.config import BAConfig
 
+    # NOTE no global BAConfig.max_solve_seconds: a nonzero cap forces EVERY
+    # >=2^16-obs solve down the host-chunked multi-sync path so the cap is
+    # enforceable — which put 2-3 relay round trips inside each live window
+    # solve (~8 ms/frame, the biggest single cost in the r5 try5 run). The
+    # finish stage gets its wall budget explicitly via --finish_seconds
+    # (SlamSystem.finish passes max_seconds per solve), and the live
+    # closure polish is capped by PoseGraphConfig.live_ba_max_seconds.
     cfg = SlamConfig().replace(
         refine_interval=args.refine_interval, batch_frames=args.batch,
         loop=LoopConfig(database_capacity=db_capacity),
-        # Reference parity for the finish-stage global solves: Ceres
-        # max_solver_time is 1 s (ref src/params.h:41); at 2k keyframes a
-        # full 50-iteration schedule would run tens of minutes. 60 s here
-        # is generous to quality while keeping the artifact run bounded.
-        ba=BAConfig(max_solve_seconds=60.0),
     )
     system = SlamSystem(rig, cfg, vocab=vocab)
 
@@ -176,7 +213,7 @@ def main():
         # (ref src/slam.cpp:108-148), so neither should our timed run.
         warm_sys = SlamSystem(rig, cfg, vocab=vocab)
         warm_scene = TriangleSceneReader(args.warm_frames, args.h, args.w,
-                                         args.period)
+                                         args.warm_period)
         for dl, dr in DeviceBatchReader(warm_scene, args.batch):
             warm_sys.process_batch(dl, dr)
         warm_sys.flush()
@@ -185,7 +222,9 @@ def main():
         warm_sys.prewarm_closure_path(args.frames)
         del warm_sys
         compile_count[0] = 0
+        cache_hits[0] = 0
         compile_log.clear()
+        hit_frames.clear()
 
     # Transport health at run time: the relay's round trip varies by
     # multiples across the day and scales EVERY number below; record it so
@@ -203,24 +242,68 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt_ms = round(1e3 * float(_np.median(rtts)), 1)
 
-    reader = DeviceBatchReader(scene, args.batch)
+    # Measured h2d bandwidth + the transport floor it implies: each frame
+    # is h*w*2 uint8 bytes; at ~38 MB/s the upload alone caps the whole
+    # drive's fps regardless of compute (r5 finding).
+    probe = _np.zeros((args.batch, args.h, args.w), _np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(probe)
+    d.block_until_ready()
+    up_mbs = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+    del d
+    bytes_per_frame = args.h * args.w * 2
+    transport_floor_fps = up_mbs * 1e6 / bytes_per_frame
+
+    if args.device_frames:
+        base_dev = jnp.asarray(scene.base.astype(np.uint8))
+        w_img, shift = args.w, scene.shift
+
+        @jax.jit
+        def slice_batch(base, offs):
+            def one(o):
+                l = jax.lax.dynamic_slice(base, (0, o), (args.h, w_img))
+                r = jax.lax.dynamic_slice(base, (0, o + shift),
+                                          (args.h, w_img))
+                return l, r
+            return jax.vmap(one)(offs)
+
+        def batches():
+            offs_all = (scene.origin
+                        + np.round(scene.pos).astype(np.int32))
+            nb = args.frames // args.batch
+            for bi in range(nb):
+                o = jnp.asarray(offs_all[bi * args.batch:
+                                         (bi + 1) * args.batch])
+                yield slice_batch(base_dev, o)
+
+        reader = None
+        batch_iter = batches()
+        rem = [scene.frame(i)
+               for i in range((args.frames // args.batch) * args.batch,
+                              args.frames)]
+    else:
+        reader = DeviceBatchReader(scene, args.batch)
+        batch_iter = iter(reader)
 
     t_start = time.perf_counter()
     batch_t = []        # (frame_index_after, wall_time)
     compiles_t = []
     stage_t = []        # (frame_index_after, dict(timers.totals)) snapshots
     pgo_solves_before = 0
-    for dl, dr in reader:
+    for dl, dr in batch_iter:
         t0 = time.perf_counter()
         system.process_batch(dl, dr)
         batch_t.append((system.frame_index, time.perf_counter() - t0))
         cur_frame[0] = system.frame_index
         compiles_t.append(compile_count[0])
         stage_t.append((system.frame_index, dict(system.timers.totals)))
-    for l, r in reader.remainder:
+    t_batches = time.perf_counter() - t_start
+    for l, r in (rem if args.device_frames else reader.remainder):
         system.process(l, r)
+    t_remainder = time.perf_counter() - t_start - t_batches
     system.flush()
     t_live = time.perf_counter() - t_start
+    t_flush = t_live - t_batches - t_remainder
 
     # fps per window (exclude window 0: warm-up compiles land there).
     W = args.window
@@ -338,12 +421,42 @@ def main():
         "relay_rtt_ms_at_start": rtt_ms,
         "db_size_final": int(system.loop.db_size if system.loop else 0),
         "live_fps_overall": round(system.frame_index / t_live, 2),
+        # Wall split of the live region: the batch loop vs the (<batch)
+        # sequential remainder frames vs the final pipeline drain. The
+        # in-batch wall is also the sum of batch_t; gaps between the two
+        # indicate time OUTSIDE process_batch (reader stalls etc.).
+        "wall_split_s": {
+            "batches": round(t_batches, 2),
+            "batches_measured_sum": round(sum(t for _, t in batch_t), 2),
+            "remainder_frames": round(t_remainder, 2),
+            "flush": round(t_flush, 2),
+        },
+        "frames_device_resident": bool(args.device_frames),
+        "upload_probe_MB_per_s": round(up_mbs, 1),
+        "upload_bytes_per_frame": bytes_per_frame,
+        "transport_floor_fps_if_uploading": round(transport_floor_fps, 1),
         "fps_per_window": fps_curve,
         "stage_ms_per_frame_by_window": stage_by_window,
+        # Live window-BA solves by window: [n_solves, total_wall_s,
+        # mean_iterations, mean_obs] — attributes the ba.finish stage.
+        "window_ba_by_window": {
+            str(wk * W): [
+                len(v),
+                round(sum(x[1] for x in v), 2),
+                round(float(np.mean([x[2] for x in v])), 1),
+                int(np.mean([x[3] for x in v])),
+            ]
+            for wk, v in sorted(
+                _group_by(system.ba_log, lambda x: x[0] // W).items())
+        },
         "fps_flatness_last_vs_early": (
             round(fps_last / fps_ref, 3) if fps_ref else None),
         "compiles_total": compile_count[0],
+        "persistent_cache_hits_total": cache_hits[0],
         "compiles_after_first_window": compiles_after_warm,
+        "true_compiles_after_first_window": max(
+            0, compiles_after_warm
+            - sum(1 for f in hit_frames if f >= f_boundary)),
         "compiles_after_first_window_modules": late_compiles,
         "loop_episodes": episodes,
         "bayes_p_max": float(p_trace.max()),

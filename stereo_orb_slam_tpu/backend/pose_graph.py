@@ -233,6 +233,9 @@ class PoseGraphOptimizer:
         # the per-phase split (edge measure / solve / global BA).
         self.live_stall_log: list = []
         self.live_stall_splits: list = []
+        # Finisher of a live closure's deferred polish BA (collected by
+        # SlamSystem at the next batch boundary; see optimize()).
+        self.deferred_ba_finish = None
         # Called before any solve: the live loop registers its pending
         # (pipelined) BA finisher here so a loop-triggered optimization
         # always sees the refined map first (SlamSystem._finish_pending_ba).
@@ -362,11 +365,28 @@ class PoseGraphOptimizer:
             lo = 0
             if live and self.cfg.live_ba_window_frames > 0:
                 lo = max(0, n - 1 - self.cfg.live_ba_window_frames)
-            stats["global_ba"] = self.ba.optimize(
-                lo, n - 1,
-                max_seconds=(self.cfg.live_ba_max_seconds if live
-                             else ba_max_seconds),
-            )
+            if live:
+                # DEFER the polish ENTIRELY (dispatch included): the pose
+                # graph has already applied the closure correction
+                # synchronously; the wall-capped BA here is refinement, so
+                # a thunk is handed to SlamSystem and runs at the next
+                # batch boundary — nothing touches the world in between,
+                # so the solve sees the identical state. r5: the
+                # synchronous polish held the live loop for its full
+                # budget PLUS closure-bucket program loads (3.3-3.6 s
+                # stalls against the 1.5 s target), and even the async
+                # DISPATCH (problem build + program loads) cost ~1.4 s in
+                # the stall; the reference BLOCKS its loop for an uncapped
+                # global Ceres solve here (ref pose_graph_optimizer.cpp:95).
+                cap = self.cfg.live_ba_max_seconds
+                ba, lo_, hi_ = self.ba, lo, n - 1
+                self.deferred_ba_finish = (
+                    lambda: ba.optimize(lo_, hi_, max_seconds=cap))
+                stats["global_ba"] = {"deferred": True}
+            else:
+                stats["global_ba"] = self.ba.optimize(
+                    lo, n - 1, max_seconds=ba_max_seconds,
+                )
         # Phase split of the stall (closure attribution, r4 directive 7):
         # edge measurement / GN solve+writeback / global BA.
         stats["wall_split_seconds"] = {
