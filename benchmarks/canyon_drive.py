@@ -109,7 +109,11 @@ def main():
                          "~38 MB/s link then caps the drive at ~40 fps "
                          "regardless of compute (recorded as "
                          "transport_floor_fps in the JSON)")
-    ap.add_argument("--finish_seconds", type=float, default=60.0,
+    ap.add_argument("--live_ba_iterations", type=int, default=20,
+                    help="deeper-than-default live window-BA budget: the "
+                         "canyon's 2%% ATE gate needs the extra polish and "
+                         "the r5 live loop has the fps headroom")
+    ap.add_argument("--finish_seconds", type=float, default=150.0,
                     help="declared finish-stage wall budget forwarded to "
                          "the CLI (r5 directive 8); 0 = uncapped")
     args = ap.parse_args()
@@ -137,6 +141,10 @@ def main():
     scene = CanyonScene(rng, fx=fx, cx=cx, cy=cy, h=args.h, w=args.w,
                         noise_sigma=args.noise)
     traj = two_episode_trajectory(args.frames, args.side, args.side_b)
+    # Six equal segments may not divide --frames exactly; the DRIVE length
+    # is the trajectory's (the r5 reuse check compared against --frames and
+    # silently re-rendered ~9 min every run).
+    args.frames = len(traj)
 
     t_render = time.time()
     img0 = args.dataset_dir + "/image_0"
@@ -158,6 +166,7 @@ def main():
            "--num_features", str(args.features),
            "--loop_query_size", str(args.loop_query_size),
            "--ransac_refit",
+           "--live_ba_iterations", str(args.live_ba_iterations),
            "--finish_seconds", str(args.finish_seconds),
            "--gt", gt_path]
     if not args.no_preload_device:
@@ -203,6 +212,24 @@ def main():
     path_len = float(np.sum(np.linalg.norm(
         np.diff(traj[:, :3, 3], axis=0), axis=1)))
 
+    # Per-segment ATE (r5 directive 5: attribute error growth along the
+    # drive): aligned global ATE evaluated over six equal frame segments.
+    seg_ate = None
+    traj_file = args.dataset_dir + "/out/trajectory_slam.txt"
+    if os.path.exists(traj_file) and os.path.exists(gt_path):
+        from stereo_orb_slam_tpu.utils import evaluate
+
+        gt = evaluate.load_kitti_gt(gt_path)
+        est = evaluate.load_kitti_gt(traj_file)
+        m = min(len(gt), len(est))
+        segs = np.array_split(np.arange(m), 6)
+        seg_ate = []
+        for s in segs:
+            if len(s) < 2:
+                continue
+            seg_ate.append(round(float(
+                evaluate.ate_rmse(est[s], gt[s])), 3))
+
     result = {
         "what": ("full SLAM through the REAL CLI on the ray-traced canyon "
                  "world at production shapes; A-A-B-A-B-A trajectory with "
@@ -224,6 +251,7 @@ def main():
         "ate_pct_of_path": (round(100.0 * ate / path_len, 3)
                             if ate is not None else None),
         "rpe_trans_m": rpe_t,
+        "ate_m_by_sixth": seg_ate,
         "loop_episodes": episodes,
         "bayes_p_max": round(p_max, 3),
     }

@@ -787,6 +787,11 @@ def main(argv=None):
                          "loop at ~40 fps regardless of compute; a locally "
                          "attached chip loads at PCIe speed where this "
                          "makes no difference.")
+    ap.add_argument("--live_ba_iterations", type=int, default=0,
+                    help="LM iteration budget of each live window solve "
+                         "(0 = config default 12; the reference runs Ceres "
+                         "to 50 iterations or its 1 s cap per window, ref "
+                         "src/params.h:34,41)")
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--gt", default=None, help="KITTI ground-truth poses for ATE")
     ap.add_argument("--debug_viz", default=None, metavar="DIR",
@@ -817,6 +822,8 @@ def main(argv=None):
         cfg = cfg.replace(
             ransac=dataclasses.replace(cfg.ransac,
                                        final_model_fitting=True))
+    if args.live_ba_iterations:
+        cfg = cfg.replace(live_ba_iterations=args.live_ba_iterations)
     system = SlamSystem(rig, cfg, vocab=vocab)
 
     staged = None

@@ -236,6 +236,7 @@ class PoseGraphOptimizer:
         # Finisher of a live closure's deferred polish BA (collected by
         # SlamSystem at the next batch boundary; see optimize()).
         self.deferred_ba_finish = None
+        self._last_polish_frame = None
         # Called before any solve: the live loop registers its pending
         # (pipelined) BA finisher here so a loop-triggered optimization
         # always sees the refined map first (SlamSystem._finish_pending_ba).
@@ -378,11 +379,21 @@ class PoseGraphOptimizer:
                 # DISPATCH (problem build + program loads) cost ~1.4 s in
                 # the stall; the reference BLOCKS its loop for an uncapped
                 # global Ceres solve here (ref pose_graph_optimizer.cpp:95).
-                cap = self.cfg.live_ba_max_seconds
-                ba, lo_, hi_ = self.ba, lo, n - 1
-                self.deferred_ba_finish = (
-                    lambda: ba.optimize(lo_, hi_, max_seconds=cap))
-                stats["global_ba"] = {"deferred": True}
+                spacing = self.cfg.live_polish_min_spacing_frames
+                if (spacing > 0 and self._last_polish_frame is not None
+                        and n - self._last_polish_frame < spacing):
+                    # Sustained revisits fire closures every few dozen
+                    # frames; back-to-back polishes over the same
+                    # live_ba_window are redundant (the pose graph already
+                    # applied each correction; finish() runs full depth).
+                    stats["global_ba"] = {"skipped_redundant": True}
+                else:
+                    self._last_polish_frame = n
+                    cap = self.cfg.live_ba_max_seconds
+                    ba, lo_, hi_ = self.ba, lo, n - 1
+                    self.deferred_ba_finish = (
+                        lambda: ba.optimize(lo_, hi_, max_seconds=cap))
+                    stats["global_ba"] = {"deferred": True}
             else:
                 stats["global_ba"] = self.ba.optimize(
                     lo, n - 1, max_seconds=ba_max_seconds,

@@ -191,6 +191,14 @@ class PoseGraphConfig:
     # the capped solve runs scatter-free MXU iterations in sub-second
     # chunks.
     live_ba_window_frames: int = 64
+    # Minimum frame spacing between LIVE polish BAs: sustained revisits
+    # make the Bayes filter exit/re-enter loops every few dozen frames
+    # (29 episodes over the 1,200-frame canyon), and consecutive polishes
+    # over the same live_ba_window are redundant by construction — the
+    # pose graph has already applied each closure's correction, and
+    # finish() runs the full-depth solve. 0 = polish after every closure
+    # (reference cadence, ref pose_graph_optimizer.cpp:95).
+    live_polish_min_spacing_frames: int = 32
     # Candidate loop edges measured per LIVE closure (most recent kept).
     # A long revisit queues one candidate per frame (375 in the r4
     # endurance drive); they are massively redundant — consecutive frames

@@ -84,8 +84,10 @@ def test_point_aligned_collectives_are_camera_sized_only():
         # Every reduced tensor is camera-sized: [C, *] rows, the [6C,6C]
         # dense reduced system (ONE psum per LM step — the r4 replacement
         # for a [C,6] psum per CG iteration), or a scalar.
+        # The dense reduced system psums in its 4-D [6,C,6,C] form since
+        # the r5 tensordot assembly (same bytes as the old [6C,6C]).
         assert (key.startswith("f32[40,") or key == "f32[240, 240]"
-                or key == "f32[]"), census
+                or key == "f32[6, 40, 6, 40]" or key == "f32[]"), census
     # Collective COUNT is the scaling lever at windowed sizes: the dense
     # distributed Schur runs ~5 latency-bound reductions per LM step.
     assert sum(census.values()) <= 6, census
