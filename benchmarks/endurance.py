@@ -187,8 +187,6 @@ def main():
     corpus = rngv.integers(0, 2 ** 32, (8192, 8), dtype=np.uint32)
     vocab = OrbVocabulary.train(corpus, num_words=1024, iterations=2)
 
-    from stereo_orb_slam_tpu.config import BAConfig
-
     # NOTE no global BAConfig.max_solve_seconds: a nonzero cap forces EVERY
     # >=2^16-obs solve down the host-chunked multi-sync path so the cap is
     # enforceable — which put 2-3 relay round trips inside each live window
