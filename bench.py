@@ -409,7 +409,7 @@ def main():
     bench_e2e_slam(batch=8, warm_batches=1, timed_batches=11)
     sweep = {}
     best = None
-    for b in (2, 4, 8, 16, 24, 32):
+    for b in (2, 4, 8, 16, 24, 32, 48, 64):
         # Warm-up must cover the first refine-interval crossings at THIS
         # batch size (the window-BA camera buckets are cadence-dependent),
         # or small-K entries time their own first compiles.

@@ -383,9 +383,11 @@ def _solve_lm(prob: BAProblem, H_cc, H_pp, W, b_c, b_p, lam, cfg: BAConfig,
         # table + an elementwise contraction; Wg's baked slot mask zeroes
         # padding slots (their slot_cam reads camera 0 harmlessly).
         dcg = dc[dense_slots[1]]                          # [P,K,6]
-        # Elementwise+reduce instead of einsum: the dot_general form made
-        # XLA materialize dcg twice in different layouts (gather
-        # f32[640000,6] + transposed copy, ~1.7 ms/iter).
+        # Elementwise+reduce instead of einsum (the dot_general form made
+        # XLA materialize dcg twice in different layouts). An unrolled
+        # six-slice variant measured IDENTICAL (106.9 it/s both ways,
+        # r5) — the [P*K,6] gather's ~1.15 ms is per-row sweep cost, not
+        # layout duplication; don't retry without profiling.
         z = jnp.sum(Wg * dcg[:, :, :, None], axis=(1, 2))
     else:
         u = jnp.einsum("oij,oi->oj", W, dc[prob.obs_cam])
